@@ -1,0 +1,8 @@
+"""Operator library: importing this package registers every op + kernel."""
+
+from . import activation  # noqa: F401
+from . import calib  # noqa: F401
+from . import common  # noqa: F401
+from . import elementwise  # noqa: F401
+from . import manip  # noqa: F401
+from . import nn  # noqa: F401

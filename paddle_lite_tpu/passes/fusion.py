@@ -1,0 +1,158 @@
+"""Fusion passes — analog of ``lite/core/mir/fusion/``.
+
+Implemented fusers (names match the reference's pass registry):
+
+- ``conv_bn_fuse`` (conv_bn_fuse_pass.cc): folds batch_norm into the
+  preceding conv's filter/bias.  Must run *before* PTQ weight quantization so
+  the folded fp32 weights are what get per-channel scales (the reference's
+  int8-weight refold case arises only for pre-quantized QAT imports, handled
+  in ``quant_dequant_fuse``).
+- ``conv_activation_fuse`` (conv_activation_fuse_pass.cc): relu / relu6 /
+  leaky_relu / hard_swish / hard_sigmoid / sigmoid into conv's ``fuse_act``.
+  On TPU this matters for the *int8* path: the activation must execute inside
+  the requant epilogue before saturating to int8.
+- ``conv_elementwise_fuse`` (conv_elementwise_fuse_pass.cc): an
+  elementwise_add whose Y is a 1-D per-channel weight becomes the conv Bias;
+  an elementwise_add with a second activation operand becomes ResidualData
+  (the ResNet shortcut).
+- ``fc_fuse`` (fc_fuse_pass.cc): mul + elementwise_add → fc.
+- ``identity_elimination`` (mir/elimination/*): inference-mode dropout,
+  identity scale, assign/io_copy no-ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.ir import Graph, OpNode
+from ..core.pass_manager import register_pass
+from ..core.pattern_matcher import match_chain, op_of
+
+_CONV_TYPES = ("conv2d", "depthwise_conv2d", "conv2d_transpose")
+_FUSABLE_ACTS = (
+    "relu", "relu6", "leaky_relu", "hard_swish", "hard_sigmoid", "sigmoid",
+    "swish", "relu_clipped", "gelu",
+)
+
+
+def _drop_op_rewire(graph: Graph, op: OpNode, keep_var: str, drop_var: str) -> None:
+    """Remove `op`, making consumers of its output read `keep_var`."""
+    graph.remove_ops([op])
+    graph.replace_var_uses(drop_var, keep_var)
+
+
+@register_pass("conv_bn_fuse")
+def conv_bn_fuse(graph: Graph) -> None:
+    for conv, bn in match_chain(
+        graph, [op_of(_CONV_TYPES), op_of("batch_norm")]
+    ):
+        if conv.attrs.get("fuse_act"):
+            continue  # act already fused => bn after act is not foldable
+        scale = graph.weights[bn.input("Scale")]
+        bias = graph.weights[bn.input("Bias")]
+        mean = graph.weights[bn.input("Mean")]
+        var = graph.weights[bn.input("Variance")]
+        eps = bn.attrs.get("epsilon", 1e-5)
+        inv = scale / np.sqrt(var + eps)  # per output channel
+
+        w_name = conv.input("Filter")
+        w = graph.weights[w_name]
+        if w.dtype == np.int8:
+            continue  # QAT int8 weights: refold handled at import time
+        graph.weights[w_name] = (w * inv.reshape(1, 1, 1, -1)).astype(np.float32)
+
+        new_bias = bias - mean * inv
+        if conv.maybe_input("Bias"):
+            b_name = conv.input("Bias")
+            graph.weights[b_name] = (
+                graph.weights[b_name] * inv + new_bias
+            ).astype(np.float32)
+        else:
+            b_name = graph.unique_name(w_name + ".bnbias")
+            graph.add_weight(b_name, new_bias.astype(np.float32))
+            conv.inputs["Bias"] = [b_name]
+        _drop_op_rewire(graph, bn, conv.output("Output"), bn.output("Y"))
+
+
+@register_pass("conv_activation_fuse")
+def conv_activation_fuse(graph: Graph) -> None:
+    for conv, act in match_chain(
+        graph, [op_of(_CONV_TYPES), op_of(_FUSABLE_ACTS)]
+    ):
+        if conv.attrs.get("fuse_act"):
+            continue
+        conv.attrs["fuse_act"] = act.op_type
+        conv.attrs["act_attrs"] = dict(act.attrs)
+        _drop_op_rewire(graph, act, conv.output("Output"), act.output("Out"))
+
+
+@register_pass("conv_elementwise_fuse")
+def conv_elementwise_fuse(graph: Graph) -> None:
+    for conv, add in match_chain(
+        graph, [op_of(_CONV_TYPES), op_of("elementwise_add")]
+    ):
+        if conv.attrs.get("fuse_act"):
+            continue
+        # conv output must be add's X (chain matcher guarantees an edge, but
+        # the conv result may arrive on either slot)
+        conv_out = conv.output("Output")
+        other = add.input("Y") if add.input("X") == conv_out else add.input("X")
+        other_var = graph.vars[other]
+        oc = graph.vars[conv_out].shape[-1]
+        if other_var.is_weight and other_var.shape in ((oc,), (1, oc)):
+            if conv.maybe_input("Bias"):
+                b_name = conv.input("Bias")
+                graph.weights[b_name] = (
+                    graph.weights[b_name] + graph.weights[other].reshape(-1)
+                ).astype(np.float32)
+            else:
+                conv.inputs["Bias"] = [other]
+        elif not other_var.is_weight and other_var.shape == graph.vars[conv_out].shape:
+            if conv.maybe_input("ResidualData") or other_var.def_op is conv:
+                continue
+            conv.inputs["ResidualData"] = [other]
+        else:
+            continue
+        _drop_op_rewire(graph, add, conv_out, add.output("Out"))
+
+
+@register_pass("fc_fuse")
+def fc_fuse(graph: Graph) -> None:
+    for mul, add in match_chain(graph, [op_of("mul"), op_of("elementwise_add")]):
+        mul_out = mul.output("Out")
+        other = add.input("Y") if add.input("X") == mul_out else add.input("X")
+        other_var = graph.vars[other]
+        od = graph.vars[mul_out].shape[-1]
+        if not (other_var.is_weight and other_var.shape in ((od,), (1, od))):
+            continue
+        mul.op_type = "fc"
+        mul.inputs = {"Input": [mul.input("X")], "W": [mul.input("Y")],
+                      "Bias": [other]}
+        mul.attrs["in_num_col_dims"] = mul.attrs.pop("x_num_col_dims", 1)
+        _drop_op_rewire(graph, add, mul_out, add.output("Out"))
+
+
+@register_pass("identity_elimination")
+def identity_elimination(graph: Graph) -> None:
+    dead = []
+    for op in list(graph.ops):
+        is_id = False
+        if op.op_type == "dropout" and op.attrs.get(
+            "dropout_implementation", "downgrade_in_infer"
+        ) == "upscale_in_train":
+            is_id = True
+        if op.op_type == "dropout" and op.attrs.get("dropout_prob", 0.0) == 0.0:
+            is_id = True
+        if op.op_type == "scale" and op.attrs.get("scale", 1.0) == 1.0 \
+                and op.attrs.get("bias", 0.0) == 0.0:
+            is_id = True
+        if op.op_type in ("assign", "io_copy", "io_copy_once"):
+            is_id = True
+        if is_id:
+            dead.append(op)
+    for op in dead:
+        # read names at removal time: earlier rewires may have updated them
+        in_name, out_name = op.input_names()[0], op.output_names()[0]
+        if out_name in graph.outputs and in_name in graph.inputs:
+            continue  # degenerate: input directly wired to output
+        _drop_op_rewire(graph, op, in_name, out_name)

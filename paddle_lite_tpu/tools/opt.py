@@ -1,0 +1,66 @@
+"""`opt` — the AOT optimize/quantize/compile flow.
+
+Analog of the reference's ``opt`` CLI (``lite/api/model_optimize_tool.cc``):
+load → run the optimization pipeline → (optionally) PTQ-calibrate + quantize
+→ emit a runnable artifact.  Here the flow is a library function (used by the
+Predictor and by the ``python -m paddle_lite_tpu.tools.opt`` CLI in
+``cli.py``) whose output is an optimized :class:`Graph` — the serialized
+`.nb`-analog artifact is produced by ``paddle_lite_tpu.formats.artifact``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+from ..core.ir import Graph
+from ..core.pass_manager import PassManager
+from ..quant.calibrate import CalibrationResult, calibrate
+from ..quant.quantize_pass import QuantConfig, ptq_quantize
+
+FUSION_PASSES = [
+    "identity_elimination",
+    "quant_dequant_fuse",  # no-op unless the graph carries QAT fake ops
+    "conv_bn_fuse",
+    "conv_elementwise_fuse",
+    "conv_activation_fuse",
+    "fc_fuse",
+]
+
+FINALIZE_PASSES = [
+    "precision_cast",
+    "kernel_pick",
+]
+
+
+def optimize(
+    graph: Graph,
+    *,
+    quant: Optional[QuantConfig] = None,
+    calib_batches: Optional[Iterable[Dict[str, np.ndarray]]] = None,
+    calib_result: Optional[CalibrationResult] = None,
+    verbose: bool = False,
+) -> Graph:
+    """Run the full optimization pipeline in-place and return the graph.
+
+    With ``quant`` set, runs PTQ: fusions → calibration (fp32 graph) →
+    quantize → precision-cast insertion → kernel pick.  This step ordering
+    mirrors the reference's pass vector (quant/fusion passes before kernel
+    picking and cast insertion, lite/core/optimizer.h).
+    """
+    PassManager(FUSION_PASSES).run(graph, verbose=verbose)
+    if quant is not None:
+        if calib_result is None:
+            if calib_batches is None:
+                raise ValueError("PTQ needs calib_batches or calib_result")
+            calib_result = calibrate(
+                graph,
+                calib_batches,
+                method=quant.method,
+                bins=quant.bins,
+                observer_kwargs=quant.observer_kwargs,
+            )
+        ptq_quantize(graph, calib_result, quant)
+    PassManager(FINALIZE_PASSES).run(graph, verbose=verbose)
+    return graph

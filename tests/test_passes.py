@@ -1,0 +1,113 @@
+"""Fusion/elimination pass tests: each pass must preserve numerics exactly
+(the MIR-pass equivalent of the reference's arena precision tests)."""
+
+import numpy as np
+
+from paddle_lite_tpu import GraphBuilder, build_callable, stage_weights
+from paddle_lite_tpu.core.pass_manager import PassManager
+
+
+def _run(g, feed):
+    return {
+        k: np.asarray(v)
+        for k, v in build_callable(g)(stage_weights(g), feed).items()
+    }
+
+
+def _small_cnn():
+    b = GraphBuilder("cnn", seed=3)
+    x = b.input("x", (2, 8, 8, 3))
+    y = b.conv_bn_act(x, 8, 3, stride=1, padding=1, act="relu")
+    y = b.conv_bn_act(y, 8, 3, padding=1, depthwise=True, act="relu6")
+    y2 = b.conv2d(y, 8, 1)
+    y = b.eltwise(y, y2, "add")  # residual
+    y = b.act(y, "relu")
+    y = b.pool2d(y, "avg", global_pooling=True)
+    y = b.reshape(y, (2, 8))
+    y = b.fc(y, 5)
+    b.mark_output(y)
+    return b.build(), y
+
+
+def test_conv_bn_fuse_preserves_numerics(rng):
+    g, out = _small_cnn()
+    feed = {"x": rng.normal(size=(2, 8, 8, 3)).astype(np.float32)}
+    ref = _run(g, feed)[out]
+    n_ops_before = len(g.ops)
+    PassManager(["conv_bn_fuse"]).run(g)
+    assert len(g.ops) == n_ops_before - 2
+    assert not any(op.op_type == "batch_norm" for op in g.ops)
+    got = _run(g, feed)[out]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_full_fusion_pipeline(rng):
+    g, out = _small_cnn()
+    feed = {"x": rng.normal(size=(2, 8, 8, 3)).astype(np.float32)}
+    ref = _run(g, feed)[out]
+    PassManager(
+        ["identity_elimination", "conv_bn_fuse", "conv_elementwise_fuse",
+         "conv_activation_fuse", "fc_fuse"]
+    ).run(g)
+    types = [op.op_type for op in g.ops]
+    assert "batch_norm" not in types
+    assert "relu" not in types and "relu6" not in types
+    # residual add fused into the 1x1 conv
+    assert "elementwise_add" not in types
+    got = _run(g, feed)[out]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_elementwise_bias_fuse(rng):
+    b = GraphBuilder("t", seed=1)
+    x = b.input("x", (1, 4, 4, 3))
+    y = b.conv2d(x, 6, 1)
+    bias = b.weight("cb", rng.normal(size=(6,)).astype(np.float32))
+    y = b.eltwise(y, bias, "add")
+    b.mark_output(y)
+    g = b.build()
+    feed = {"x": rng.normal(size=(1, 4, 4, 3)).astype(np.float32)}
+    ref = _run(g, feed)[y]
+    PassManager(["conv_elementwise_fuse"]).run(g)
+    assert [op.op_type for op in g.ops] == ["conv2d"]
+    assert g.ops[0].maybe_input("Bias")
+    got = _run(g, feed)[g.outputs[0]]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fc_fuse(rng):
+    b = GraphBuilder("t", seed=2)
+    x = b.input("x", (4, 16))
+    w = b.weight("w", rng.normal(size=(16, 8)).astype(np.float32))
+    y = b.op("mul", {"X": [x], "Y": [w]},
+             attrs={"x_num_col_dims": 1, "y_num_col_dims": 1},
+             shape_args=[x, w])[0]
+    bias = b.weight("b0", rng.normal(size=(8,)).astype(np.float32))
+    y = b.eltwise(y, bias, "add")
+    b.mark_output(y)
+    g = b.build()
+    feed = {"x": rng.normal(size=(4, 16)).astype(np.float32)}
+    ref = _run(g, feed)[y]
+    PassManager(["fc_fuse"]).run(g)
+    assert [op.op_type for op in g.ops] == ["fc"]
+    got = _run(g, feed)[g.outputs[0]]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_identity_elimination(rng):
+    b = GraphBuilder("t")
+    x = b.input("x", (2, 4))
+    y = b.op("dropout", {"X": [x]},
+             attrs={"dropout_prob": 0.5,
+                    "dropout_implementation": "upscale_in_train"},
+             shape_args=[x])[0]
+    y = b.op("scale", {"X": [y]}, attrs={"scale": 1.0, "bias": 0.0},
+             shape_args=[y])[0]
+    y = b.fc(y, 3)
+    b.mark_output(y)
+    g = b.build()
+    feed = {"x": rng.normal(size=(2, 4)).astype(np.float32)}
+    ref = _run(g, feed)[y]
+    PassManager(["identity_elimination"]).run(g)
+    assert [op.op_type for op in g.ops] == ["fc"]
+    np.testing.assert_allclose(_run(g, feed)[g.outputs[0]], ref, rtol=1e-6)
