@@ -1,1 +1,2 @@
 from . import autotune  # noqa: F401
+from . import ops_pallas  # noqa: F401

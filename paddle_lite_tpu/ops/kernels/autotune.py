@@ -28,29 +28,46 @@ def _gemm_dims_ok(m: int, k: int, n: int) -> bool:
     return m >= 8 and k >= 32 and n >= 32
 
 
-def choose_kernel(graph, op) -> Optional[str]:
-    """Return 'pallas' | 'xla' | None (keep default)."""
-    if not op.attrs.get("enable_int8"):
-        return None
+def _gemm_problem(graph, op) -> Optional[Tuple[int, int, int]]:
+    """(m, k, n) if this op can route through the Pallas int8 GEMM."""
     if op.op_type in _PALLAS_GEMM_OPS:
         w = graph.vars[op.input("W" if op.op_type == "fc" else "Y")]
-        k, n = w.shape[-2], w.shape[-1]
         x = graph.vars[op.input("Input" if op.op_type == "fc" else "X")]
-        m = int(np.prod(x.shape[:-1]))
-        return "pallas" if _gemm_dims_ok(m, k, n) else "xla"
+        return int(np.prod(x.shape[:-1])), w.shape[-2], w.shape[-1]
     if op.op_type in _PALLAS_CONV_OPS:
         w = graph.vars[op.input("Filter")]
         kh, kw, ic, oc = w.shape
-        strides = op.attrs.get("strides", [1, 1])
-        groups = int(op.attrs.get("groups", 1))
-        # 1x1 stride-1 convs are pure GEMMs — the Pallas epilogue-fused
-        # path; spatial convs stay on XLA's conv lowering
-        if kh == kw == 1 and tuple(strides) in ((1, 1), [1, 1]) and groups == 1:
+        if (
+            kh == kw == 1
+            and tuple(op.attrs.get("strides", (1, 1))) == (1, 1)
+            and int(op.attrs.get("groups", 1)) == 1
+            and not op.maybe_input("ResidualData")
+        ):
             x = graph.vars[op.input("Input")]
-            m = int(np.prod(x.shape[:-1]))
-            return "pallas" if _gemm_dims_ok(m, ic, oc) else "xla"
-        return "xla"
+            return int(np.prod(x.shape[:-1])), ic, oc
     return None
+
+
+def choose_kernel(graph, op) -> Optional[str]:
+    """Return 'pallas' | 'xla' | None (keep default).
+
+    Policy: Pallas only where the on-device autotune table has *measured* it
+    faster than the XLA lowering for that (m, k, n) bucket; XLA otherwise.
+    (Measured on the dev chip: XLA's fused int8 dot+epilogue beats the
+    current Pallas kernel at most model shapes, so an unmeasured default of
+    'pallas' costs real throughput — the conservative default is 'xla'.)
+    """
+    if not op.attrs.get("enable_int8"):
+        return None
+    prob = _gemm_problem(graph, op)
+    if prob is None:
+        return None
+    m, k, n = prob
+    if not _gemm_dims_ok(m, k, n):
+        return "xla"
+    from . import tune_cache
+
+    return tune_cache.lookup_gemm(m, k, n) or "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,146 @@
+"""On-device autotune measurement cache.
+
+The reference hard-coded per-SoC tuning tables in ``lite/core/device_info.cc``
+(cache sizes → ARM block shapes); the TPU-native equivalent is measured:
+:func:`measure_gemm` times the Pallas int8 GEMM against the XLA lowering for
+a given (m, k, n) on the attached chip (iteration-delta method — the async
+backend makes naive timing meaningless, see bench.py) and persists the
+winner, keyed by shape bucket, in a JSON cache.  ``kernel_pick`` consults
+:func:`lookup_gemm`; unmeasured shapes default to XLA.
+
+Run ``python -m paddle_lite_tpu.tools.tune`` to populate the cache for a
+model's shapes ahead of deployment (the opt-tool analog of a tuning pass).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+_CACHE_ENV = "PLT_TPU_AUTOTUNE_CACHE"
+_DEFAULT_CACHE = Path(__file__).resolve().parents[3] / ".autotune" / "gemm.json"
+
+
+def _cache_path() -> Path:
+    return Path(os.environ.get(_CACHE_ENV, str(_DEFAULT_CACHE)))
+
+
+def _bucket(x: int) -> int:
+    """Round to a coarse power-of-two-ish bucket so one measurement covers
+    neighboring shapes."""
+    if x <= 0:
+        return 0
+    b = 1
+    while b * 2 <= x:
+        b *= 2
+    # two buckets per octave
+    return b if x < b * 1.5 else int(b * 1.5)
+
+
+def _key(m: int, k: int, n: int) -> str:
+    return f"{_bucket(m)}x{_bucket(k)}x{_bucket(n)}"
+
+
+@functools.lru_cache(maxsize=1)
+def _load() -> Dict[str, str]:
+    p = _cache_path()
+    if p.exists():
+        try:
+            return json.loads(p.read_text())
+        except (json.JSONDecodeError, OSError):
+            return {}
+    return {}
+
+
+def lookup_gemm(m: int, k: int, n: int) -> Optional[str]:
+    return _load().get(_key(m, k, n))
+
+
+def _store(entries: Dict[str, str]) -> None:
+    p = _cache_path()
+    p.parent.mkdir(parents=True, exist_ok=True)
+    table = dict(_load())
+    table.update(entries)
+    p.write_text(json.dumps(table, indent=1, sort_keys=True))
+    _load.cache_clear()
+
+
+def measure_gemm(m: int, k: int, n: int, *, iters: int = 16,
+                 verbose: bool = False) -> str:
+    """Time pallas vs xla for this problem on the current default device and
+    cache the winner. Returns 'pallas' or 'xla'."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .int8_matmul import int8_matmul
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.integers(-127, 128, (m, k), dtype=np.int8))
+    w = jax.device_put(rng.integers(-127, 128, (k, n), dtype=np.int8))
+    eff = jnp.asarray(rng.uniform(1e-3, 2e-3, (n,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    interp = jax.default_backend() != "tpu"
+
+    def one_pallas(xc):
+        return int8_matmul(xc, w, eff, bias, act="relu", out_scale=0.05,
+                           interpret=interp)
+
+    def one_xla(xc):
+        acc = jnp.dot(xc, w, preferred_element_type=jnp.int32)
+        y = jnp.maximum(acc.astype(jnp.float32) * eff + bias, 0)
+        return jnp.clip(jnp.round(y * 20.0), -127, 127).astype(jnp.int8)
+
+    def timed(one, n_iters):
+        @functools.partial(jax.jit, static_argnames=("it",))
+        def looped(xc, it):
+            def body(i, carry):
+                out = one(carry)
+                return jnp.bitwise_xor(carry, out[:1, :1].reshape(1, 1))
+
+            final = jax.lax.fori_loop(0, it, body, xc)
+            return jnp.sum(final.astype(jnp.int32))
+
+        float(jax.device_get(looped(x, 1)))
+        float(jax.device_get(looped(x, n_iters)))
+        t0 = time.perf_counter()
+        float(jax.device_get(looped(x, 1)))
+        t1 = time.perf_counter()
+        float(jax.device_get(looped(x, n_iters)))
+        t2 = time.perf_counter()
+        return max((t2 - t1) - (t1 - t0), 1e-9) / (n_iters - 1)
+
+    t_pallas = timed(one_pallas, iters)
+    t_xla = timed(one_xla, iters)
+    winner = "pallas" if t_pallas < t_xla else "xla"
+    if verbose:
+        f = 2 * m * k * n
+        print(f"({m},{k},{n}) pallas {t_pallas*1e6:.1f}us "
+              f"({f/t_pallas/1e12:.1f}T) xla {t_xla*1e6:.1f}us "
+              f"({f/t_xla/1e12:.1f}T) -> {winner}")
+    _store({_key(m, k, n): winner})
+    return winner
+
+
+def tune_graph(graph, *, verbose: bool = False) -> Dict[str, str]:
+    """Measure every Pallas-eligible GEMM problem in an optimized graph."""
+    from .autotune import _gemm_problem
+
+    results: Dict[str, str] = {}
+    seen = set()
+    for op in graph.ops:
+        if not op.attrs.get("enable_int8"):
+            continue
+        prob = _gemm_problem(graph, op)
+        if prob is None:
+            continue
+        key = _key(*prob)
+        if key in seen:
+            continue
+        seen.add(key)
+        results[key] = measure_gemm(*prob, verbose=verbose)
+    return results

@@ -1,0 +1,144 @@
+"""Continuous batcher — request-level parallelism for serving.
+
+Net-new vs the reference (SURVEY §2.9): Paddle-Lite's answer to concurrent
+requests was "run one Predictor per thread"; the TPU-native answer is a
+single sharded model fed by a continuous batcher: requests queue up, are
+grouped into the smallest fitting *bucket* batch size (fixed buckets avoid
+XLA recompiles — the static-shape analog of the reference's fixed-shape
+``.nb`` programs), padded, executed as one device call, and the per-request
+slices resolved back to their futures.
+
+Single dispatcher thread owns the device stream (the jax queue is the only
+shared state; one submitter thread = no data races — mirroring the
+reference's one-predictor-one-thread contract, SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class BatcherConfig:
+    buckets: Sequence[int] = (1, 2, 4, 8, 16, 32)
+    max_wait_ms: float = 2.0  # linger before dispatching a partial batch
+    max_queue: int = 1024
+
+
+@dataclasses.dataclass
+class _Pending:
+    inputs: Dict[str, np.ndarray]  # batch-1 arrays (leading dim 1)
+    future: Future
+    enqueued_at: float
+
+
+class ContinuousBatcher:
+    """Groups single-sample requests into bucketed device batches.
+
+    ``predictor_factory(batch)`` must return a Predictor-like object whose
+    ``run(inputs)`` takes/returns name-keyed arrays with leading batch dim
+    == ``batch``.  Predictors are built lazily per bucket and cached (each
+    is one compiled XLA program).
+    """
+
+    def __init__(
+        self,
+        predictor_factory: Callable[[int], Any],
+        config: Optional[BatcherConfig] = None,
+    ):
+        self.config = config or BatcherConfig()
+        self._factory = predictor_factory
+        self._predictors: Dict[int, Any] = {}
+        self._queue: "queue.Queue[_Pending]" = queue.Queue(self.config.max_queue)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="plt-batcher")
+        self._thread.start()
+        self.stats = {"batches": 0, "requests": 0, "padded_slots": 0}
+
+    # ---- client API ------------------------------------------------------
+    def submit(self, inputs: Dict[str, np.ndarray]) -> Future:
+        """Submit one request (arrays WITHOUT the batch dim). Returns a
+        Future resolving to name-keyed output arrays (batch dim stripped)."""
+        f: Future = Future()
+        batched = {k: np.asarray(v)[None, ...] for k, v in inputs.items()}
+        self._queue.put(_Pending(batched, f, time.perf_counter()))
+        return f
+
+    def infer(self, inputs: Dict[str, np.ndarray], timeout: Optional[float] = None):
+        return self.submit(inputs).result(timeout)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ---- dispatcher ------------------------------------------------------
+    def _bucket_for(self, n: int) -> int:
+        for b in sorted(self.config.buckets):
+            if b >= n:
+                return b
+        return max(self.config.buckets)
+
+    def _predictor(self, bucket: int):
+        if bucket not in self._predictors:
+            self._predictors[bucket] = self._factory(bucket)
+        return self._predictors[bucket]
+
+    def _collect(self) -> List[_Pending]:
+        """Block for the first request, then linger up to max_wait_ms or
+        until the largest bucket fills."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        max_b = max(self.config.buckets)
+        deadline = time.perf_counter() + self.config.max_wait_ms / 1e3
+        while len(batch) < max_b:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._dispatch(batch)
+            except Exception as e:  # fail-fast per batch, not per server
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)
+
+    def _dispatch(self, batch: List[_Pending]) -> None:
+        n = len(batch)
+        bucket = self._bucket_for(n)
+        pred = self._predictor(bucket)
+        keys = batch[0].inputs.keys()
+        stacked: Dict[str, np.ndarray] = {}
+        for k in keys:
+            arrs = [p.inputs[k] for p in batch]
+            pad = bucket - n
+            if pad:
+                arrs = arrs + [np.zeros_like(arrs[0])] * pad
+            stacked[k] = np.concatenate(arrs, axis=0)
+        out = jax.device_get(pred.run(stacked))
+        for i, p in enumerate(batch):
+            p.future.set_result({k: np.asarray(v)[i] for k, v in out.items()})
+        self.stats["batches"] += 1
+        self.stats["requests"] += n
+        self.stats["padded_slots"] += bucket - n

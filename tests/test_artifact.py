@@ -1,0 +1,78 @@
+"""Artifact (.nb analog) round-trip tests: save an optimized int8 graph via
+the native C++ nbf library, reload, and verify bit-identical outputs — the
+reference's opt-tool round-trip test pattern (save .nb → LightPredictor →
+compare outputs, lite/api tests)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from paddle_lite_tpu import GraphBuilder, QuantConfig
+from paddle_lite_tpu.runtime.predictor import (Predictor, create_predictor,
+                                               load_predictor)
+
+
+def _small_model():
+    b = GraphBuilder("m", seed=21)
+    x = b.input("x", (2, 8, 8, 8))
+    y = b.conv_bn_act(x, 16, 1, act="relu")
+    y = b.conv_bn_act(y, 16, 3, padding=1, depthwise=True, act="relu6")
+    y = b.pool2d(y, "avg", global_pooling=True)
+    y = b.reshape(y, (2, 16))
+    y = b.fc(y, 4)
+    b.mark_output(y)
+    return b.build()
+
+
+def test_artifact_roundtrip_int8(tmp_path, rng):
+    g = _small_model()
+    batches = [{"x": rng.normal(size=(2, 8, 8, 8)).astype(np.float32)}]
+    pred = create_predictor(g, quant=QuantConfig(), calib_batches=batches)
+    feed = {"x": rng.normal(size=(2, 8, 8, 8)).astype(np.float32)}
+    ref = np.asarray(pred.run(feed)[g.outputs[0]])
+
+    path = str(tmp_path / "model.pnb")
+    pred.save(path)
+    assert os.path.getsize(path) > 0
+
+    pred2 = load_predictor(path)
+    got = np.asarray(pred2.run(feed)[pred2.output_names[0]])
+    np.testing.assert_array_equal(got, ref)  # bit-identical: same weights+graph
+
+    # int8 weights survived as int8 (packed storage, not re-quantized)
+    assert any(w.dtype == np.int8 for w in pred2.graph.weights.values())
+
+
+def test_artifact_corruption_detected(tmp_path, rng):
+    g = _small_model()
+    pred = create_predictor(
+        g, quant=QuantConfig(),
+        calib_batches=[{"x": rng.normal(size=(2, 8, 8, 8)).astype(np.float32)}],
+    )
+    path = str(tmp_path / "model.pnb")
+    pred.save(path)
+    # flip one byte inside the last weight blob
+    data = bytearray(open(path, "rb").read())
+    data[-7] ^= 0xFF
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(IOError, match="corrupt|crc"):
+        load_predictor(path)
+
+
+def test_artifact_bad_magic(tmp_path):
+    path = str(tmp_path / "junk.pnb")
+    open(path, "wb").write(b"NOTANARTIFACT" * 10)
+    with pytest.raises(IOError, match="bad artifact"):
+        load_predictor(path)
+
+
+def test_predictor_validates_inputs(rng):
+    g = _small_model()
+    pred = Predictor(g)
+    with pytest.raises(ValueError, match="missing input"):
+        pred.run({})
+    with pytest.raises(ValueError, match="shape"):
+        pred.run({"x": np.zeros((1, 4, 4, 8), np.float32)})
+    with pytest.raises(ValueError, match="unexpected"):
+        pred.run({"x": np.zeros((2, 8, 8, 8), np.float32), "y": np.zeros(3)})

@@ -1,0 +1,109 @@
+"""Pallas kernel tests vs jnp references (the reference's tier-1 math tests:
+``lite/tests/math/gemm_int8_compute_test.cc`` pattern — shape sweep, compare
+against a naive int8 ground truth).  On CPU these run the Pallas interpreter
+(`interpret=True`) — the mock-backend analog of the arena baseline."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddle_lite_tpu.ops.kernels.int8_matmul import int8_matmul
+
+
+def _ref(x_q, w_q, eff, bias=None, act=None, out_scale=None):
+    acc = x_q.astype(np.int32) @ w_q.astype(np.int32)
+    y = acc.astype(np.float32) * eff.reshape(1, -1)
+    if bias is not None:
+        y = y + bias.reshape(1, -1)
+    if act == "relu":
+        y = np.maximum(y, 0)
+    elif act == "relu6":
+        y = np.clip(y, 0, 6)
+    if out_scale is not None:
+        return np.clip(np.round(y / out_scale), -127, 127).astype(np.int8)
+    return y
+
+
+def _rand_problem(rng, m, k, n):
+    x_q = rng.integers(-127, 128, size=(m, k), dtype=np.int8)
+    w_q = rng.integers(-127, 128, size=(k, n), dtype=np.int8)
+    eff = rng.uniform(1e-3, 2e-3, size=(n,)).astype(np.float32)
+    bias = rng.normal(size=(n,)).astype(np.float32)
+    return x_q, w_q, eff, bias
+
+
+@pytest.mark.parametrize(
+    "m,k,n",
+    [
+        (8, 32, 32),        # tiny
+        (128, 128, 128),    # one tile
+        (256, 512, 256),    # multi-k
+        (100, 96, 60),      # ragged everything (padding path)
+        (12544, 64, 128),   # mobilenet-ish 1x1 conv shape
+    ],
+)
+def test_int8_matmul_fp32_out(m, k, n, rng):
+    x_q, w_q, eff, bias = _rand_problem(rng, m, k, n)
+    got = np.asarray(int8_matmul(x_q, w_q, eff, bias, interpret=True))
+    ref = _ref(x_q, w_q, eff, bias)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_int8_matmul_relu_and_requant(rng):
+    m, k, n = 64, 128, 96
+    x_q, w_q, eff, bias = _rand_problem(rng, m, k, n)
+    out_scale = 0.05
+    got = np.asarray(
+        int8_matmul(x_q, w_q, eff, bias, act="relu", out_scale=out_scale,
+                    interpret=True)
+    )
+    ref = _ref(x_q, w_q, eff, bias, act="relu", out_scale=out_scale)
+    assert got.dtype == np.int8
+    # int8 requant: allow ±1 quantum on ties (round-to-even vs away-from-0)
+    assert np.abs(got.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+    assert (got != ref).mean() < 0.02
+
+
+def test_int8_matmul_no_bias(rng):
+    x_q, w_q, eff, _ = _rand_problem(rng, 32, 64, 32)
+    got = np.asarray(int8_matmul(x_q, w_q, eff, None, interpret=True))
+    np.testing.assert_allclose(got, _ref(x_q, w_q, eff), rtol=1e-5, atol=1e-4)
+
+
+def test_graph_level_pallas_matches_xla(rng):
+    """Same optimized int8 graph run with pallas kernels vs pure XLA."""
+    import numpy as np
+
+    from paddle_lite_tpu import (GraphBuilder, QuantConfig, build_callable,
+                                 stage_weights)
+    from paddle_lite_tpu.tools.opt import optimize
+
+    b = GraphBuilder("t", seed=11)
+    x = b.input("x", (2, 8, 8, 32))
+    y = b.conv_bn_act(x, 64, 1, act="relu")
+    y = b.conv_bn_act(y, 64, 1, act="relu")
+    y = b.pool2d(y, "avg", global_pooling=True)
+    y = b.reshape(y, (2, 64))
+    out = b.fc(y, 32)
+    b.mark_output(out)
+    g = b.build()
+    optimize(g, quant=QuantConfig(), calib_batches=[
+        {"x": rng.normal(size=(2, 8, 8, 32)).astype(np.float32)}
+    ])
+    # force the pallas impls (kernel_pick defaults to xla until the
+    # on-device autotune cache has measurements — see autotune.choose_kernel)
+    n_forced = 0
+    for op in g.ops:
+        if op.op_type in ("conv2d", "fc") and op.attrs.get("enable_int8"):
+            op.attrs["kernel"] = "pallas"
+            n_forced += 1
+    assert n_forced >= 3
+
+    feed = {"x": rng.normal(size=(2, 8, 8, 32)).astype(np.float32)}
+    w = stage_weights(g)
+    got_pallas = np.asarray(build_callable(g)(w, feed)[g.outputs[0]])
+    for op in g.ops:
+        op.attrs.pop("kernel", None)  # force default XLA impls
+    got_xla = np.asarray(build_callable(g)(w, feed)[g.outputs[0]])
+    # identical int8 arithmetic up to rounding-mode ties in the requant
+    np.testing.assert_allclose(got_pallas, got_xla, rtol=1e-3, atol=1e-2)
