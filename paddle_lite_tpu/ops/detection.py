@@ -1,0 +1,345 @@
+"""Detection ops: prior_box / density_prior_box / box_coder / yolo_box /
+multiclass_nms — analog of ``lite/operators/{prior_box,box_coder,
+multiclass_nms,yolo_box}_op.cc`` and their ARM kernels
+(``lite/backends/arm/math/{box_coder,yolo_box}.cc``; NMS ran as scalar host
+code in the reference).
+
+TPU-first design: everything except the final NMS selection is dense
+vectorized jnp that fuses into the model (priors are shape-only → constant-
+folded by XLA at compile time, mirroring the reference computing them once
+in PrepareForRun).  NMS itself is implemented as a fixed-size, sorted,
+mask-based ``lax.fori_loop`` — compiler-friendly control flow with static
+shapes (no data-dependent loops), emitting top-K boxes padded with -1
+labels, which is the standard TPU-native NMS shape contract.
+
+These run in fp32 — the reference likewise kept detection post-ops out of
+the int8 domain (SURVEY §7.1).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.registry import OPS
+
+
+# ---------------------------------------------------------------------------
+# prior_box (SSD anchors)
+# ---------------------------------------------------------------------------
+
+def _prior_box_count(attrs) -> int:
+    n_min = len(attrs["min_sizes"])
+    n_max = len(attrs.get("max_sizes", []))
+    n_ar = len(_expand_aspect_ratios(attrs))
+    return n_min * n_ar + n_max
+
+
+def _expand_aspect_ratios(attrs) -> List[float]:
+    ars = [1.0]
+    for ar in attrs.get("aspect_ratios", []):
+        if not any(abs(ar - a) < 1e-6 for a in ars):
+            ars.append(float(ar))
+            if attrs.get("flip", True) and ar != 0:
+                ars.append(1.0 / float(ar))
+    return ars
+
+
+@OPS.shape_fn("prior_box")
+def prior_box_shape(attrs, in_shapes):
+    feat = in_shapes[0]  # NHWC feature map
+    h, w = feat[1], feat[2]
+    n = _prior_box_count(attrs)
+    return [(h, w, n, 4), (h, w, n, 4)]
+
+
+@OPS.kernel("prior_box", "xla")
+def prior_box_xla(ctx, op, ins):
+    feat = ins["Input"][0]
+    img = ins["Image"][0]
+    attrs = op.attrs
+    fh, fw = feat.shape[1], feat.shape[2]
+    ih, iw = img.shape[1], img.shape[2]
+    step_w = attrs.get("step_w", 0.0) or iw / fw
+    step_h = attrs.get("step_h", 0.0) or ih / fh
+    offset = attrs.get("offset", 0.5)
+
+    min_sizes = [float(s) for s in attrs["min_sizes"]]
+    max_sizes = [float(s) for s in attrs.get("max_sizes", [])]
+    ars = _expand_aspect_ratios(attrs)
+
+    # per-cell box (w, h) list — static python, becomes a constant
+    whs: List[Tuple[float, float]] = []
+    for k, ms in enumerate(min_sizes):
+        whs.append((ms, ms))  # ar = 1
+        for ar in ars:
+            if abs(ar - 1.0) < 1e-6:
+                continue
+            whs.append((ms * math.sqrt(ar), ms / math.sqrt(ar)))
+        if k < len(max_sizes):
+            big = math.sqrt(ms * max_sizes[k])
+            whs.append((big, big))
+
+    cx = (jnp.arange(fw, dtype=jnp.float32) + offset) * step_w
+    cy = (jnp.arange(fh, dtype=jnp.float32) + offset) * step_h
+    cxg, cyg = jnp.meshgrid(cx, cy)  # (fh, fw)
+    wh = jnp.asarray(whs, jnp.float32)  # (n, 2)
+    n = wh.shape[0]
+    cxg = cxg[:, :, None]
+    cyg = cyg[:, :, None]
+    bw = wh[None, None, :, 0] / 2.0
+    bh = wh[None, None, :, 1] / 2.0
+    boxes = jnp.stack(
+        [(cxg - bw) / iw, (cyg - bh) / ih, (cxg + bw) / iw, (cyg + bh) / ih],
+        axis=-1,
+    )  # (fh, fw, n, 4)
+    if attrs.get("clip", True):
+        boxes = jnp.clip(boxes, 0.0, 1.0)
+    var = jnp.asarray(attrs.get("variances", [0.1, 0.1, 0.2, 0.2]), jnp.float32)
+    variances = jnp.broadcast_to(var, (fh, fw, n, 4))
+    return {"Boxes": [boxes], "Variances": [variances]}
+
+
+@OPS.shape_fn("density_prior_box")
+def density_prior_box_shape(attrs, in_shapes):
+    feat = in_shapes[0]
+    h, w = feat[1], feat[2]
+    n = 0
+    fixed = attrs.get("fixed_sizes", [])
+    dens = attrs.get("densities", [])
+    for d in dens:
+        n += int(d) * int(d)
+    n *= max(len(fixed) // max(len(dens), 1), 1) if dens else 0
+    if n == 0:
+        n = len(fixed)
+    return [(h, w, n, 4), (h, w, n, 4)]
+
+
+@OPS.kernel("density_prior_box", "xla")
+def density_prior_box_xla(ctx, op, ins):
+    feat, img = ins["Input"][0], ins["Image"][0]
+    attrs = op.attrs
+    fh, fw = feat.shape[1], feat.shape[2]
+    ih, iw = img.shape[1], img.shape[2]
+    step_w = attrs.get("step_w", 0.0) or iw / fw
+    step_h = attrs.get("step_h", 0.0) or ih / fh
+    offset = attrs.get("offset", 0.5)
+    fixed_sizes = [float(s) for s in attrs["fixed_sizes"]]
+    fixed_ratios = [float(r) for r in attrs.get("fixed_ratios", [1.0])]
+    densities = [int(d) for d in attrs["densities"]]
+
+    whs: List[Tuple[float, float, float, float]] = []  # (dx, dy, w, h)
+    for size, density in zip(fixed_sizes, densities):
+        for ar in fixed_ratios:
+            bw = size * math.sqrt(ar)
+            bh = size / math.sqrt(ar)
+            step = size / density
+            for di in range(density):
+                for dj in range(density):
+                    dx = (dj + 0.5) * step - size / 2.0
+                    dy = (di + 0.5) * step - size / 2.0
+                    whs.append((dx, dy, bw, bh))
+
+    cx = (jnp.arange(fw, dtype=jnp.float32) + offset) * step_w
+    cy = (jnp.arange(fh, dtype=jnp.float32) + offset) * step_h
+    cxg, cyg = jnp.meshgrid(cx, cy)
+    d = jnp.asarray(whs, jnp.float32)  # (n, 4)
+    cxs = cxg[:, :, None] + d[None, None, :, 0]
+    cys = cyg[:, :, None] + d[None, None, :, 1]
+    bw = d[None, None, :, 2] / 2.0
+    bh = d[None, None, :, 3] / 2.0
+    boxes = jnp.stack(
+        [(cxs - bw) / iw, (cys - bh) / ih, (cxs + bw) / iw, (cys + bh) / ih],
+        axis=-1,
+    )
+    if attrs.get("clip", True):
+        boxes = jnp.clip(boxes, 0.0, 1.0)
+    var = jnp.asarray(attrs.get("variances", [0.1, 0.1, 0.2, 0.2]), jnp.float32)
+    return {"Boxes": [boxes], "Variances": [jnp.broadcast_to(var, boxes.shape)]}
+
+
+# ---------------------------------------------------------------------------
+# box_coder (decode SSD regression vs priors)
+# ---------------------------------------------------------------------------
+
+@OPS.shape_fn("box_coder")
+def box_coder_shape(attrs, in_shapes):
+    # target_box (N, M, 4) (decode) with prior (M, 4)
+    return [in_shapes[2]]
+
+
+@OPS.kernel("box_coder", "xla")
+def box_coder_xla(ctx, op, ins):
+    prior = ins["PriorBox"][0].reshape(-1, 4)  # (M, 4) xyxy
+    pvar = ins.get("PriorBoxVar", [None])[0]
+    target = ins["TargetBox"][0]  # (N, M, 4) encoded deltas
+    attrs = op.attrs
+    if attrs.get("code_type", "decode_center_size") != "decode_center_size":
+        raise NotImplementedError("encode_center_size is a training-time op")
+    norm = attrs.get("box_normalized", True)
+    one = 0.0 if norm else 1.0
+    pw = prior[:, 2] - prior[:, 0] + one
+    ph = prior[:, 3] - prior[:, 1] + one
+    pcx = prior[:, 0] + pw * 0.5
+    pcy = prior[:, 1] + ph * 0.5
+    if pvar is not None:
+        v = pvar.reshape(-1, 4)
+    else:
+        v = jnp.ones((prior.shape[0], 4), jnp.float32)
+    t = target
+    cx = v[:, 0] * t[..., 0] * pw + pcx
+    cy = v[:, 1] * t[..., 1] * ph + pcy
+    w = jnp.exp(v[:, 2] * t[..., 2]) * pw
+    h = jnp.exp(v[:, 3] * t[..., 3]) * ph
+    out = jnp.stack(
+        [cx - w * 0.5, cy - h * 0.5, cx + w * 0.5 - one, cy + h * 0.5 - one],
+        axis=-1,
+    )
+    return {"OutputBox": [out]}
+
+
+# ---------------------------------------------------------------------------
+# yolo_box
+# ---------------------------------------------------------------------------
+
+@OPS.shape_fn("yolo_box")
+def yolo_box_shape(attrs, in_shapes):
+    n, h, w, _ = in_shapes[0]
+    an = len(attrs["anchors"]) // 2
+    boxes = h * w * an
+    return [(n, boxes, 4), (n, boxes, int(attrs["class_num"]))]
+
+
+@OPS.kernel("yolo_box", "xla")
+def yolo_box_xla(ctx, op, ins):
+    x = ins["X"][0]  # (N, H, W, an*(5+classes)) NHWC
+    img_size = ins["ImgSize"][0]  # (N, 2) [h, w]
+    attrs = op.attrs
+    anchors = np.asarray(attrs["anchors"], np.float32).reshape(-1, 2)
+    an = anchors.shape[0]
+    ncls = int(attrs["class_num"])
+    conf_thresh = attrs.get("conf_thresh", 0.01)
+    downsample = attrs.get("downsample_ratio", 32)
+    n, h, w, _ = x.shape
+    x = x.reshape(n, h, w, an, 5 + ncls)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    bx = (jax.nn.sigmoid(x[..., 0]) + gx[None, :, :, None]) / w
+    by = (jax.nn.sigmoid(x[..., 1]) + gy[None, :, :, None]) / h
+    aw = jnp.asarray(anchors[:, 0]) / (w * downsample)
+    ah = jnp.asarray(anchors[:, 1]) / (h * downsample)
+    bw = jnp.exp(x[..., 2]) * aw[None, None, None, :]
+    bh = jnp.exp(x[..., 3]) * ah[None, None, None, :]
+    conf = jax.nn.sigmoid(x[..., 4])
+    probs = jax.nn.sigmoid(x[..., 5:]) * conf[..., None]
+    probs = jnp.where(conf[..., None] > conf_thresh, probs, 0.0)
+    imgh = img_size[:, 0].astype(jnp.float32)[:, None, None, None]
+    imgw = img_size[:, 1].astype(jnp.float32)[:, None, None, None]
+    boxes = jnp.stack(
+        [(bx - bw / 2) * imgw, (by - bh / 2) * imgh,
+         (bx + bw / 2) * imgw, (by + bh / 2) * imgh], axis=-1)
+    if attrs.get("clip_bbox", True):
+        boxes = jnp.stack(
+            [jnp.clip(boxes[..., 0], 0, imgw[..., 0] - 1),
+             jnp.clip(boxes[..., 1], 0, imgh[..., 0] - 1),
+             jnp.clip(boxes[..., 2], 0, imgw[..., 0] - 1),
+             jnp.clip(boxes[..., 3], 0, imgh[..., 0] - 1)], axis=-1)
+    return {
+        "Boxes": [boxes.reshape(n, -1, 4)],
+        "Scores": [probs.reshape(n, -1, ncls)],
+    }
+
+
+# ---------------------------------------------------------------------------
+# multiclass_nms — fixed-size masked NMS (TPU-native)
+# ---------------------------------------------------------------------------
+
+def _iou_matrix(boxes):
+    """boxes (K, 4) xyxy -> (K, K) IoU."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0)
+    lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-10)
+
+
+def _nms_single_class(boxes, scores, iou_thresh, score_thresh, top_k):
+    """Greedy NMS over top_k candidates; returns (scores, boxes) with
+    suppressed entries zeroed. Static shapes throughout."""
+    k = min(top_k, scores.shape[0])
+    top_scores, idx = jax.lax.top_k(scores, k)
+    cand = boxes[idx]
+    iou = _iou_matrix(cand)
+    valid0 = top_scores > score_thresh
+
+    def body(i, keep):
+        # suppress i's lower-scored overlaps if i is still alive
+        alive_i = keep[i]
+        sup = (iou[i] > iou_thresh) & (jnp.arange(k) > i) & alive_i
+        return keep & ~sup
+
+    keep = jax.lax.fori_loop(0, k, body, valid0)
+    return jnp.where(keep, top_scores, 0.0), cand, idx
+
+
+@OPS.shape_fn("multiclass_nms")
+def multiclass_nms_shape(attrs, in_shapes):
+    n = in_shapes[1][0]  # scores (N, M, C) — paddle is (N, C, M); ours (N,M,C)
+    keep = int(attrs.get("keep_top_k", 100))
+    return [(n, keep, 6)]
+
+
+@OPS.kernel("multiclass_nms", "xla")
+@OPS.kernel("multiclass_nms2", "xla")
+def multiclass_nms_xla(ctx, op, ins):
+    """Output per batch: (keep_top_k, 6) rows [label, score, x1, y1, x2, y2];
+    empty slots have label = -1 (the fixed-shape analog of the reference's
+    LoD-ragged NMS output)."""
+    boxes = ins["BBoxes"][0]  # (N, M, 4)
+    scores = ins["Scores"][0]  # (N, M, C)
+    attrs = op.attrs
+    iou_t = attrs.get("nms_threshold", 0.3)
+    score_t = attrs.get("score_threshold", 0.01)
+    nms_top_k = int(attrs.get("nms_top_k", 400))
+    keep_top_k = int(attrs.get("keep_top_k", 100))
+    background = int(attrs.get("background_label", 0))
+    n, m, c = scores.shape
+
+    def per_image(bx, sc):
+        all_scores = []
+        all_boxes = []
+        all_labels = []
+        for cls in range(c):
+            if cls == background:
+                continue
+            s, cand, _ = _nms_single_class(bx, sc[:, cls], iou_t, score_t,
+                                           min(nms_top_k, m))
+            all_scores.append(s)
+            all_boxes.append(cand)
+            all_labels.append(jnp.full(s.shape, cls, jnp.float32))
+        s = jnp.concatenate(all_scores)
+        b = jnp.concatenate(all_boxes)
+        l = jnp.concatenate(all_labels)
+        k = min(keep_top_k, s.shape[0])
+        top_s, idx = jax.lax.top_k(s, k)
+        rows = jnp.concatenate(
+            [jnp.where(top_s > 0, l[idx], -1.0)[:, None], top_s[:, None],
+             b[idx]], axis=-1)
+        if k < keep_top_k:
+            pad = jnp.full((keep_top_k - k, 6), -1.0, jnp.float32)
+            pad = pad.at[:, 1:].set(0.0)
+            rows = jnp.concatenate([rows, pad], axis=0)
+        return rows
+
+    out = jax.vmap(per_image)(boxes, scores)
+    return {"Out": [out]}
+
+
+OPS.register("multiclass_nms2", infer_shape=multiclass_nms_shape)

@@ -153,9 +153,11 @@ def conv2d_transpose_xla(ctx, op, ins):
     kh, kw = w.shape[0], w.shape[1]
     pad_h = (dh * (kh - 1) - ph0, dh * (kh - 1) - ph1 + oph)
     pad_w = (dw * (kw - 1) - pw0, dw * (kw - 1) - pw1 + opw)
+    # filter stored (kh, kw, in_c, out_c): spatial flip only — the gradient-
+    # form conv already contracts over in_c in the I slot
     acc = jax.lax.conv_general_dilated(
         x,
-        jnp.flip(w, axis=(0, 1)).swapaxes(2, 3),  # HWIO with roles swapped
+        jnp.flip(w, axis=(0, 1)),
         window_strides=(1, 1),
         padding=(pad_h, pad_w),
         lhs_dilation=(sh, sw),

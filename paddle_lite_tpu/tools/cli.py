@@ -1,0 +1,138 @@
+"""CLI — the ``opt`` tool analog (``lite/api/model_optimize_tool.cc``).
+
+Usage:
+    python -m paddle_lite_tpu.tools.cli compile --model mobilenet_v1 \
+        --batch 8 --image-size 224 --int8 --out /tmp/model.pnb
+    python -m paddle_lite_tpu.tools.cli info --artifact /tmp/model.pnb
+    python -m paddle_lite_tpu.tools.cli ops       # --print_all_ops analog
+    python -m paddle_lite_tpu.tools.cli passes
+    python -m paddle_lite_tpu.tools.cli tune --model mobilenet_v1 --batch 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import sys
+
+import numpy as np
+
+
+def _build_model(name: str, **kw):
+    mod = importlib.import_module(f"paddle_lite_tpu.models.{name}")
+    return mod.build(**kw)
+
+
+def cmd_compile(args) -> None:
+    from paddle_lite_tpu import QuantConfig
+    from paddle_lite_tpu.core.types import CalibMethod
+    from paddle_lite_tpu.formats import artifact
+    from paddle_lite_tpu.tools.opt import optimize
+
+    g = _build_model(args.model, batch=args.batch, image_size=args.image_size)
+    quant = None
+    calib = None
+    if args.int8:
+        quant = QuantConfig(method=CalibMethod(args.calib_method))
+        rng = np.random.default_rng(0)
+        shape = tuple(g.vars[g.inputs[0]].shape)
+        calib = [
+            {g.inputs[0]: rng.normal(size=shape).astype(np.float32)}
+            for _ in range(args.calib_batches)
+        ]
+        print(f"calibrating with {args.calib_batches} synthetic batches "
+              f"({args.calib_method}); pass real data via the library API "
+              f"for deployment-grade scales", file=sys.stderr)
+    optimize(g, quant=quant, calib_batches=calib)
+    artifact.save(g, args.out)
+    n_int8 = sum(1 for op in g.ops if op.attrs.get("enable_int8"))
+    print(json.dumps({"out": args.out, "ops": len(g.ops), "int8_ops": n_int8}))
+
+
+def cmd_info(args) -> None:
+    from paddle_lite_tpu.formats import artifact
+
+    g = artifact.load(args.artifact)
+    n_int8 = sum(1 for op in g.ops if op.attrs.get("enable_int8"))
+    by_type: dict = {}
+    for op in g.ops:
+        by_type[op.op_type] = by_type.get(op.op_type, 0) + 1
+    print(json.dumps({
+        "name": g.name,
+        "inputs": {n: g.vars[n].shape for n in g.inputs},
+        "outputs": g.outputs,
+        "ops": len(g.ops),
+        "int8_ops": n_int8,
+        "op_histogram": dict(sorted(by_type.items())),
+        "weight_bytes": int(sum(w.nbytes for w in g.weights.values())),
+    }, default=str))
+
+
+def cmd_ops(args) -> None:
+    from paddle_lite_tpu.core.registry import OPS
+
+    for name in OPS.names():
+        impls = sorted(OPS.get(name).impls)
+        print(f"{name:<32} kernels: {', '.join(impls) or '-'}")
+
+
+def cmd_passes(args) -> None:
+    from paddle_lite_tpu.core.pass_manager import registered_passes
+
+    for name in registered_passes():
+        print(name)
+
+
+def cmd_tune(args) -> None:
+    from paddle_lite_tpu import QuantConfig
+    from paddle_lite_tpu.ops.kernels import tune_cache
+    from paddle_lite_tpu.tools.opt import optimize
+
+    g = _build_model(args.model, batch=args.batch, image_size=args.image_size)
+    rng = np.random.default_rng(0)
+    shape = tuple(g.vars[g.inputs[0]].shape)
+    optimize(g, quant=QuantConfig(), calib_batches=[
+        {g.inputs[0]: rng.normal(size=shape).astype(np.float32)}
+    ])
+    results = tune_cache.tune_graph(g, verbose=True)
+    print(json.dumps(results))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="paddle_lite_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compile", help="optimize (+quantize) a zoo model to an artifact")
+    c.add_argument("--model", required=True)
+    c.add_argument("--batch", type=int, default=1)
+    c.add_argument("--image-size", type=int, default=224)
+    c.add_argument("--int8", action="store_true")
+    c.add_argument("--calib-method", default="abs_max",
+                   choices=["abs_max", "moving_average_abs_max", "percentile", "entropy"])
+    c.add_argument("--calib-batches", type=int, default=4)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_compile)
+
+    i = sub.add_parser("info", help="inspect an artifact")
+    i.add_argument("--artifact", required=True)
+    i.set_defaults(fn=cmd_info)
+
+    o = sub.add_parser("ops", help="list registered ops/kernels")
+    o.set_defaults(fn=cmd_ops)
+
+    ps = sub.add_parser("passes", help="list registered passes")
+    ps.set_defaults(fn=cmd_passes)
+
+    t = sub.add_parser("tune", help="populate the autotune table for a model")
+    t.add_argument("--model", required=True)
+    t.add_argument("--batch", type=int, default=8)
+    t.add_argument("--image-size", type=int, default=224)
+    t.set_defaults(fn=cmd_tune)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
