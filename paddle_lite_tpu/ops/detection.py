@@ -343,3 +343,97 @@ def multiclass_nms_xla(ctx, op, ins):
 
 
 OPS.register("multiclass_nms2", infer_shape=multiclass_nms_shape)
+
+
+# ---------------------------------------------------------------------------
+# anchor_generator / roi_align (Faster-RCNN-class support ops)
+# ---------------------------------------------------------------------------
+
+@OPS.shape_fn("anchor_generator")
+def anchor_generator_shape(attrs, in_shapes):
+    h, w = in_shapes[0][1], in_shapes[0][2]
+    n = len(attrs["anchor_sizes"]) * len(attrs["aspect_ratios"])
+    return [(h, w, n, 4), (h, w, n, 4)]
+
+
+@OPS.kernel("anchor_generator", "xla")
+def anchor_generator_xla(ctx, op, ins):
+    feat = ins["Input"][0]  # NHWC
+    attrs = op.attrs
+    sizes = [float(s) for s in attrs["anchor_sizes"]]
+    ratios = [float(r) for r in attrs["aspect_ratios"]]
+    stride = attrs.get("stride", [16.0, 16.0])
+    offset = attrs.get("offset", 0.5)
+    fh, fw = feat.shape[1], feat.shape[2]
+    whs = []
+    for r in ratios:
+        for s in sizes:
+            area = s * s
+            w_ = math.sqrt(area / r)
+            h_ = w_ * r
+            whs.append((w_, h_))
+    cx = (jnp.arange(fw, dtype=jnp.float32) + offset) * stride[0]
+    cy = (jnp.arange(fh, dtype=jnp.float32) + offset) * stride[1]
+    cxg, cyg = jnp.meshgrid(cx, cy)
+    wh = jnp.asarray(whs, jnp.float32)
+    bw = wh[None, None, :, 0] / 2.0
+    bh = wh[None, None, :, 1] / 2.0
+    cxg, cyg = cxg[:, :, None], cyg[:, :, None]
+    anchors = jnp.stack([cxg - bw, cyg - bh, cxg + bw, cyg + bh], axis=-1)
+    var = jnp.asarray(attrs.get("variances", [0.1, 0.1, 0.2, 0.2]), jnp.float32)
+    return {"Anchors": [anchors],
+            "Variances": [jnp.broadcast_to(var, anchors.shape)]}
+
+
+@OPS.shape_fn("roi_align")
+def roi_align_shape(attrs, in_shapes):
+    n_rois = in_shapes[1][0]
+    c = in_shapes[0][3]
+    ph, pw = int(attrs["pooled_height"]), int(attrs["pooled_width"])
+    return [(n_rois, ph, pw, c)]
+
+
+@OPS.kernel("roi_align", "xla")
+def roi_align_xla(ctx, op, ins):
+    """RoIAlign (NHWC): bilinear sampling at sampling_ratio^2 points per bin,
+    averaged — vectorized gather formulation (no data-dependent shapes)."""
+    x = ins["X"][0]  # (N, H, W, C); single-image N=1 supported (batch via
+    # the RoisBatchIndex input would add a gather on axis 0)
+    rois = ins["ROIs"][0]  # (R, 4) [x1, y1, x2, y2] in input coords
+    attrs = op.attrs
+    ph, pw = int(attrs["pooled_height"]), int(attrs["pooled_width"])
+    scale = float(attrs.get("spatial_scale", 1.0))
+    ratio = int(attrs.get("sampling_ratio", 2) or 2)
+    H, W = x.shape[1], x.shape[2]
+    img = jnp.asarray(x)[0]  # (H, W, C); jnp: numpy inputs break vmap gather
+    rois = jnp.asarray(rois)
+
+    def one_roi(roi):
+        x1, y1, x2, y2 = roi * scale
+        rw = jnp.maximum(x2 - x1, 1.0)
+        rh = jnp.maximum(y2 - y1, 1.0)
+        bin_h = rh / ph
+        bin_w = rw / pw
+        # sample grid: (ph*ratio, pw*ratio)
+        gy = y1 + (jnp.arange(ph * ratio) + 0.5) * bin_h / ratio
+        gx = x1 + (jnp.arange(pw * ratio) + 0.5) * bin_w / ratio
+
+        def bilinear(yy, xx):
+            y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, H - 1)
+            x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 1)
+            y1_ = jnp.clip(y0 + 1, 0, H - 1)
+            x1_ = jnp.clip(x0 + 1, 0, W - 1)
+            wy = jnp.clip(yy - y0, 0.0, 1.0)
+            wx = jnp.clip(xx - x0, 0.0, 1.0)
+            v = (img[y0, x0] * (1 - wy) * (1 - wx) + img[y0, x1_] * (1 - wy) * wx
+                 + img[y1_, x0] * wy * (1 - wx) + img[y1_, x1_] * wy * wx)
+            return v
+
+        samples = jax.vmap(
+            lambda yy: jax.vmap(lambda xx: bilinear(yy, xx))(gx)
+        )(gy)  # (ph*ratio, pw*ratio, C)
+        c = samples.shape[-1]
+        pooled = samples.reshape(ph, ratio, pw, ratio, c).mean(axis=(1, 3))
+        return pooled
+
+    return {"Out": [jax.vmap(one_roi)(rois)]}

@@ -120,3 +120,51 @@ def cast_shape(attrs, in_shapes):
 def cast_xla(ctx, op, ins):
     dtype = np.dtype(op.attrs.get("out_dtype", "float32"))
     return {"Out": [ins["X"][0].astype(dtype)]}
+
+
+# ---- comparison / logical ops (control-flow support: lite/operators/
+# compare_op.cc, logical_op.cc) ---------------------------------------------
+
+_COMPARE_FNS = {
+    "less_than": jnp.less,
+    "less_equal": jnp.less_equal,
+    "greater_than": jnp.greater,
+    "greater_equal": jnp.greater_equal,
+    "equal": jnp.equal,
+    "not_equal": jnp.not_equal,
+}
+
+
+def _make_compare(name, fn):
+    def impl(ctx, op, ins):
+        x, y = ins["X"][0], ins["Y"][0]
+        return {"Out": [fn(x, _align(x, jnp.asarray(y), int(op.attrs.get("axis", -1))))]}
+
+    impl.__name__ = f"{name}_impl"
+    return impl
+
+
+for _name, _fn in _COMPARE_FNS.items():
+    OPS.register(_name, infer_shape=_broadcast_shape, input_slots=("X", "Y"))
+    OPS.get(_name).impls["xla"] = _make_compare(_name, _fn)
+
+
+_LOGICAL_FNS = {
+    "logical_and": jnp.logical_and,
+    "logical_or": jnp.logical_or,
+    "logical_xor": jnp.logical_xor,
+}
+
+for _name, _fn in _LOGICAL_FNS.items():
+    OPS.register(_name, infer_shape=_broadcast_shape, input_slots=("X", "Y"))
+    OPS.get(_name).impls["xla"] = _make_compare(_name, _fn)
+
+
+@OPS.shape_fn("logical_not")
+def logical_not_shape(attrs, in_shapes):
+    return [in_shapes[0]]
+
+
+@OPS.kernel("logical_not", "xla")
+def logical_not_xla(ctx, op, ins):
+    return {"Out": [jnp.logical_not(ins["X"][0])]}
