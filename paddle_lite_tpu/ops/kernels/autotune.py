@@ -59,6 +59,15 @@ def choose_kernel(graph, op) -> Optional[str]:
     """
     if not op.attrs.get("enable_int8"):
         return None
+    if op.op_type == "depthwise_conv2d":
+        from . import depthwise, tune_cache
+
+        x = graph.vars[op.input("Input")]
+        w = graph.vars[op.input("Filter")]
+        if depthwise.supported(op.attrs, x.shape, w.shape) \
+                and not op.maybe_input("ResidualData"):
+            return tune_cache.lookup_dw(x.shape[1], x.shape[3]) or "xla"
+        return None
     prob = _gemm_problem(graph, op)
     if prob is None:
         return None

@@ -1,0 +1,155 @@
+"""Pallas depthwise-conv kernel (VPU) — the reference's hand-written
+``conv_depthwise_3x3*`` NEON kernels (``lite/backends/arm/math/
+conv_depthwise_3x3s1_fp32.cc``, ``conv_depthwise_3x3_int8.cc`` — the fork
+author's own specialty) re-imagined for the TPU's vector unit.
+
+Depthwise conv is MXU-hostile (no reduction dimension to feed the systolic
+array), so the 9-tap stencil runs as shifted elementwise multiply-adds on
+the VPU with channels on the 128-lane axis:
+
+    out[r, w, c] = Σ_{i,j} x[r+i, w+j, c] · k[i, j, c]
+
+Design (stride 1, 3x3, NHWC int8 — the hot MobileNet layers; other
+configs fall back to the XLA lowering):
+- grid = (batch, channel-blocks of 128); each step holds the full padded
+  (H+2, W+2, 128) input slab in VMEM (≤ ~1.7 MB at 112×112).
+- rows processed in static chunks so the int32 accumulator stays small
+  (chunk×W×128×4B) instead of materializing an (H, W, 128) int32 tensor.
+- the epilogue (per-channel scale, bias, activation, saturating int8
+  requant) runs on the accumulator chunk in registers/VMEM before the
+  single store — the same fused structure as the reference's NEON epilogue
+  and our MXU GEMM kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..common import apply_activation
+
+_BC = 128  # channel block = one lane tile
+
+
+def _pick_row_chunk(h: int) -> int:
+    for ch in (16, 14, 8, 7, 4, 2, 1):
+        if h % ch == 0:
+            return ch
+    return 1
+
+
+def _dw_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
+               h: int, w: int, row_chunk: int, act, act_attrs,
+               out_scale, out_dtype):
+    wt = w_ref[:]  # (9, BC) int8 taps
+    scale = scale_ref[:]  # (1, BC) f32
+    bias = bias_ref[:]  # (1, BC) f32
+    for rc in range(h // row_chunk):
+        r0 = rc * row_chunk
+        acc = jnp.zeros((row_chunk, w, _BC), jnp.int32)
+        for i in range(3):
+            for j in range(3):
+                xs = x_ref[0, r0 + i:r0 + i + row_chunk, j:j + w, :]
+                acc = acc + xs.astype(jnp.int32) * wt[3 * i + j].astype(jnp.int32)
+        y = acc.astype(jnp.float32) * scale[0]
+        y = y + bias[0]
+        y = apply_activation(y, act, act_attrs)
+        if out_scale is not None:
+            y = jnp.clip(jnp.round(y * (1.0 / out_scale)), -127, 127)
+        out_ref[0, r0:r0 + row_chunk, :, :] = y.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "act_attrs_tuple", "out_scale", "interpret")
+)
+def _dw3x3s1_impl(x, w9, eff_scale, bias, *, act, act_attrs_tuple,
+                  out_scale, interpret):
+    n, h, wdt, c = x.shape
+    act_attrs = dict(act_attrs_tuple) if act_attrs_tuple else None
+    cp = -c % _BC
+    if cp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp)))
+        w9 = jnp.pad(w9, ((0, 0), (0, cp)))
+        eff_scale = jnp.pad(eff_scale, (0, cp))
+        bias = jnp.pad(bias, (0, cp))
+    cq = c + cp
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # SAME padding
+    out_dtype = jnp.int8 if out_scale is not None else jnp.float32
+    row_chunk = _pick_row_chunk(h)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _dw_kernel, h=h, w=wdt, row_chunk=row_chunk, act=act,
+            act_attrs=act_attrs, out_scale=out_scale, out_dtype=out_dtype,
+        ),
+        grid=(n, cq // _BC),
+        in_specs=[
+            pl.BlockSpec((1, h + 2, wdt + 2, _BC), lambda b, cb: (b, 0, 0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, _BC), lambda b, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BC), lambda b, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BC), lambda b, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wdt, _BC), lambda b, cb: (b, 0, 0, cb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wdt, cq), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * wdt * cq * 9,
+            bytes_accessed=n * h * wdt * cq * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, w9, eff_scale.reshape(1, -1).astype(jnp.float32),
+      bias.reshape(1, -1).astype(jnp.float32))
+    return out[..., :c]
+
+
+def dw_conv3x3s1_int8(
+    x,  # (N, H, W, C) int8
+    w,  # (3, 3, 1, C) int8
+    eff_scale,  # (C,) f32 = s_x * s_w per channel
+    bias=None,  # (C,) f32
+    *,
+    act: Optional[str] = None,
+    act_attrs: Optional[dict] = None,
+    out_scale: Optional[float] = None,
+    interpret: bool = False,
+):
+    c = x.shape[-1]
+    w9 = jnp.asarray(w).reshape(9, c)
+    eff = jnp.broadcast_to(jnp.asarray(eff_scale, jnp.float32), (c,))
+    b = jnp.zeros((c,), jnp.float32) if bias is None else jnp.asarray(bias)
+    act_attrs_tuple = tuple(sorted(act_attrs.items())) if act_attrs else None
+    return _dw3x3s1_impl(
+        x, w9, eff, b, act=act, act_attrs_tuple=act_attrs_tuple,
+        out_scale=None if out_scale is None else float(out_scale),
+        interpret=interpret,
+    )
+
+
+def supported(op_attrs, x_shape, w_shape) -> bool:
+    """Static eligibility: 3x3, stride 1, SAME padding (1,1), dilation 1."""
+    from ..common import normalize_2d, normalize_paddings
+
+    kh, kw = w_shape[0], w_shape[1]
+    strides = normalize_2d(op_attrs.get("strides", (1, 1)))
+    dil = normalize_2d(op_attrs.get("dilations", (1, 1)))
+    pads = normalize_paddings(op_attrs.get("paddings", (0, 0)))
+    return (
+        (kh, kw) == (3, 3)
+        and strides == (1, 1)
+        and dil == (1, 1)
+        and pads == ((1, 1), (1, 1))
+    )

@@ -106,3 +106,33 @@ def conv2d_pallas(ctx, op, ins):
         out_scale=op.attrs.get("out_scale"), interpret=_interp(ctx),
     )
     return {"Output": [y.reshape((n, h, ww_, oc))]}
+
+
+@OPS.kernel("depthwise_conv2d", "pallas")
+def depthwise_pallas(ctx, op, ins):
+    """3x3 stride-1 int8 depthwise via the Pallas VPU stencil kernel."""
+    from . import depthwise
+
+    x = ins["Input"][0]
+    w = ins["Filter"][0]
+    bias = ins.get("Bias", [None])[0]
+    residual = ins.get("ResidualData", [None])[0]
+    ok = (
+        x.dtype == jnp.int8
+        and w.dtype == jnp.int8
+        and residual is None
+        and depthwise.supported(op.attrs, x.shape, w.shape)
+    )
+    if not ok:
+        from ..nn import conv2d_xla
+
+        return conv2d_xla(ctx, op, ins)
+    xq = ctx.var_quant(op.input("Input"))
+    wq = ctx.var_quant(op.input("Filter"))
+    eff = np.float32(xq.scale[0]) * wq.scale_array()
+    y = depthwise.dw_conv3x3s1_int8(
+        x, w, eff, bias,
+        act=op.attrs.get("fuse_act"), act_attrs=op.attrs.get("act_attrs"),
+        out_scale=op.attrs.get("out_scale"), interpret=_interp(ctx),
+    )
+    return {"Output": [y]}

@@ -99,6 +99,23 @@ def cmd_tune(args) -> None:
     print(json.dumps(results))
 
 
+def cmd_profile(args) -> None:
+    """Per-layer int8-vs-fp32 precision report for a zoo model."""
+    from paddle_lite_tpu import QuantConfig
+    from paddle_lite_tpu.core.pass_manager import PassManager
+    from paddle_lite_tpu.tools.opt import FUSION_PASSES, optimize
+    from paddle_lite_tpu.tools.profile import print_precision_report
+
+    g_fp = _build_model(args.model, batch=args.batch, image_size=args.image_size)
+    g_q = _build_model(args.model, batch=args.batch, image_size=args.image_size)
+    PassManager(FUSION_PASSES).run(g_fp)
+    rng = np.random.default_rng(0)
+    shape = tuple(g_q.vars[g_q.inputs[0]].shape)
+    feed = {g_q.inputs[0]: rng.normal(size=shape).astype(np.float32)}
+    optimize(g_q, quant=QuantConfig(), calib_batches=[feed])
+    print_precision_report(g_fp, g_q, feed, top=args.top)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="paddle_lite_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -124,6 +141,13 @@ def main(argv=None) -> None:
     ps = sub.add_parser("passes", help="list registered passes")
     ps.set_defaults(fn=cmd_passes)
 
+    pr = sub.add_parser("profile", help="per-layer int8-vs-fp32 precision report")
+    pr.add_argument("--model", required=True)
+    pr.add_argument("--batch", type=int, default=1)
+    pr.add_argument("--image-size", type=int, default=224)
+    pr.add_argument("--top", type=int, default=20)
+    pr.set_defaults(fn=cmd_profile)
+
     t = sub.add_parser("tune", help="populate the autotune table for a model")
     t.add_argument("--model", required=True)
     t.add_argument("--batch", type=int, default=8)
@@ -136,3 +160,4 @@ def main(argv=None) -> None:
 
 if __name__ == "__main__":
     main()
+

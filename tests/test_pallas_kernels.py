@@ -107,3 +107,50 @@ def test_graph_level_pallas_matches_xla(rng):
     got_xla = np.asarray(build_callable(g)(w, feed)[g.outputs[0]])
     # identical int8 arithmetic up to rounding-mode ties in the requant
     np.testing.assert_allclose(got_pallas, got_xla, rtol=1e-3, atol=1e-2)
+
+
+def _dw_ref(x_q, w_q, eff, bias, act=None, out_scale=None):
+    import jax
+    import jax.numpy as jnp
+
+    acc = jax.lax.conv_general_dilated(
+        jnp.asarray(x_q), jnp.asarray(w_q), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x_q.shape[-1],
+        preferred_element_type=jnp.int32)
+    y = np.asarray(acc).astype(np.float32) * eff.reshape(1, 1, 1, -1)
+    y = y + bias.reshape(1, 1, 1, -1)
+    if act == "relu":
+        y = np.maximum(y, 0)
+    if out_scale is not None:
+        return np.clip(np.round(y / out_scale), -127, 127).astype(np.int8)
+    return y
+
+
+@pytest.mark.parametrize("h,c", [(8, 128), (14, 64), (7, 200)])
+def test_dw_pallas_kernel(h, c, rng):
+    from paddle_lite_tpu.ops.kernels.depthwise import dw_conv3x3s1_int8
+
+    x = rng.integers(-127, 128, (2, h, h, c), dtype=np.int8)
+    w = rng.integers(-127, 128, (3, 3, 1, c), dtype=np.int8)
+    eff = rng.uniform(1e-3, 2e-3, (c,)).astype(np.float32)
+    bias = rng.normal(size=(c,)).astype(np.float32)
+
+    got = np.asarray(dw_conv3x3s1_int8(x, w, eff, bias, interpret=True))
+    ref = _dw_ref(x, w, eff, bias)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_dw_pallas_requant(rng):
+    from paddle_lite_tpu.ops.kernels.depthwise import dw_conv3x3s1_int8
+
+    h, c = 8, 128
+    x = rng.integers(-127, 128, (1, h, h, c), dtype=np.int8)
+    w = rng.integers(-10, 10, (3, 3, 1, c), dtype=np.int8)
+    eff = rng.uniform(1e-3, 2e-3, (c,)).astype(np.float32)
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    got = np.asarray(dw_conv3x3s1_int8(x, w, eff, bias, act="relu",
+                                       out_scale=0.05, interpret=True))
+    ref = _dw_ref(x, w, eff, bias, act="relu", out_scale=0.05)
+    assert got.dtype == np.int8
+    assert np.abs(got.astype(np.int32) - ref.astype(np.int32)).max() <= 1
