@@ -19,6 +19,12 @@ configs fall back to the XLA lowering):
   requant) runs on the accumulator chunk in registers/VMEM before the
   single store — the same fused structure as the reference's NEON epilogue
   and our MXU GEMM kernel.
+
+Measured on the v5e (batch 64): int32 accumulation beats fp32 accumulation
+at every MobileNet shape (e.g. 28x28x256: 293 vs 29 GB/s effective), and
+this kernel beats XLA's depthwise lowering at 14x14x512 (173us vs 264us)
+while XLA keeps the larger-H shapes — the autotune table
+(tune_cache.measure_dw) routes per shape.
 """
 
 from __future__ import annotations

@@ -1,0 +1,130 @@
+"""Multi-model benchmark — the ``lite/api/benchmark.cc`` analog.
+
+Measures int8 (and optionally fp32) on-device throughput for any zoo model
+with the iteration-delta method (see bench.py for why), reporting one JSON
+object per config.  ``python -m paddle_lite_tpu.tools.benchmark --model
+resnet --batch 32``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import importlib
+import json
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MODEL_KW = {
+    # per-model build kwargs and the batch-dim input name
+    "mobilenet_v1": {},
+    "mobilenet_v3": {},
+    "resnet": {},
+    "ernie_tiny": {"drop_image_size": True},
+}
+
+
+def device_throughput(graph, feed, *, loop: int = 16, unit_axis: int = 0) -> float:
+    """Items/sec (batch items) via iteration-delta with scalar readback."""
+    from ..core.executor import build_callable, stage_weights
+
+    fn = build_callable(graph)
+    weights = jax.device_put(stage_weights(graph))
+    feed = jax.device_put(feed)
+    out_name = graph.outputs[0]
+    in_names = list(feed)
+    batch = feed[in_names[0]].shape[unit_axis]
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def looped(w, f, iters):
+        def body(i, carry):
+            cur, acc = carry
+            out = fn(w, cur)[out_name]
+            s = jnp.sum(out.astype(jnp.float32))
+            # perturb only float inputs; int inputs stay fixed
+            nxt = {
+                k: (v + s * 1e-12 if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                for k, v in cur.items()
+            }
+            return nxt, acc + s
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (f, jnp.float32(0)))
+        return acc
+
+    def timed(it):
+        t0 = time.perf_counter()
+        float(jax.device_get(looped(weights, feed, it)))
+        return time.perf_counter() - t0
+
+    timed(1)
+    timed(1 + loop)
+    deltas = [timed(1 + loop) - timed(1) for _ in range(3)]
+    dt = max(float(np.median(deltas)), 1e-9)
+    return batch * loop / dt
+
+
+def bench_model(model: str, *, batch: int, image_size: int = 224,
+                int8: bool = True, with_fp32: bool = False,
+                seq_len: int = 128) -> dict:
+    from .. import QuantConfig
+    from .opt import optimize
+
+    mod = importlib.import_module(f"paddle_lite_tpu.models.{model}")
+    rng = np.random.default_rng(0)
+
+    def build():
+        if model == "ernie_tiny":
+            return mod.build(batch=batch, seq_len=seq_len)
+        return mod.build(batch=batch, image_size=image_size)
+
+    def make_feed(g):
+        feed = {}
+        for name in g.inputs:
+            shape = g.vars[name].shape
+            dt = g.vars[name].precision.np_dtype
+            if np.issubdtype(dt, np.integer):
+                feed[name] = rng.integers(0, 100, shape).astype(dt)
+            else:
+                feed[name] = rng.normal(size=shape).astype(dt)
+        return feed
+
+    result = {"model": model, "batch": batch}
+    if with_fp32:
+        g32 = build()
+        result["fp32_items_per_sec"] = round(
+            device_throughput(g32, make_feed(g32)), 1)
+    if int8:
+        g8 = build()
+        feed = make_feed(g8)
+        optimize(g8, quant=QuantConfig(), calib_batches=[feed])
+        result["int8_items_per_sec"] = round(device_throughput(g8, feed), 1)
+        if with_fp32:
+            result["speedup"] = round(
+                result["int8_items_per_sec"] / result["fp32_items_per_sec"], 3)
+    return result
+
+
+def main() -> None:
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="mobilenet_v1")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--seq-len", type=int, default=128)
+    p.add_argument("--fp32", action="store_true")
+    args = p.parse_args()
+    print(json.dumps(bench_model(
+        args.model, batch=args.batch, image_size=args.image_size,
+        with_fp32=args.fp32, seq_len=args.seq_len)))
+
+
+if __name__ == "__main__":
+    main()
