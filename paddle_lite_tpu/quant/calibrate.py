@@ -54,8 +54,9 @@ def vars_needing_scales(graph: Graph) -> List[str]:
     return sorted(names)
 
 
-def _stats_fn(graph: Graph, watch: Sequence[str]):
-    """Jittable: (weights, inputs) -> {name: abs_max} over watched vars."""
+def _stats_fn(graph: Graph, watch: Sequence[str],
+              channel_means: bool = False):
+    """Jittable: (weights, inputs) -> {name: abs_max [, channel mean]}."""
     watch_set = set(watch)
 
     def fn(weights, inputs):
@@ -63,7 +64,12 @@ def _stats_fn(graph: Graph, watch: Sequence[str]):
 
         def capture(name, val):
             if name in watch_set:
-                stats[name] = jnp.max(jnp.abs(val.astype(jnp.float32)))
+                v = val.astype(jnp.float32)
+                stats[name] = jnp.max(jnp.abs(v))
+                if channel_means:
+                    # E[x] along the channel (last) axis — bias correction
+                    stats[name + "/mean"] = jnp.mean(
+                        v.reshape(-1, v.shape[-1]), axis=0)
 
         run = build_callable(graph, capture=capture)
         run(weights, inputs)
@@ -94,6 +100,8 @@ def _hist_fn(graph: Graph, watch: Sequence[str], amax: Dict[str, float], bins: i
 @dataclasses.dataclass
 class CalibrationResult:
     scales: Dict[str, float]  # var name -> per-tensor activation scale
+    channel_means: Dict[str, np.ndarray] = dataclasses.field(
+        default_factory=dict)  # var name -> E[x] per channel (bias corr.)
 
     def scale(self, name: str) -> float:
         return self.scales[name]
@@ -106,6 +114,7 @@ def calibrate(
     *,
     bins: int = 2048,
     observer_kwargs: Optional[dict] = None,
+    collect_channel_means: bool = False,
 ) -> CalibrationResult:
     """Run calibration batches through the fp32 graph; return per-tensor
     activation scales for every var adjacent to a quantizable op."""
@@ -118,11 +127,19 @@ def calibrate(
         n: make_observer(method, **(observer_kwargs or {})) for n in watch
     }
 
-    stats = jax.jit(_stats_fn(graph, watch))
+    mean_acc: Dict[str, np.ndarray] = {}
+    stats = jax.jit(_stats_fn(graph, watch,
+                              channel_means=collect_channel_means))
     for batch in batches:
         out = jax.device_get(stats(weights, batch))
         for n, a in out.items():
-            observers[n].update_absmax(float(a))
+            if n.endswith("/mean"):
+                base = n[: -len("/mean")]
+                prev = mean_acc.get(base)
+                mean_acc[base] = a if prev is None else prev + a
+            else:
+                observers[n].update_absmax(float(a))
+    channel_means = {n: v / len(batches) for n, v in mean_acc.items()}
 
     if observers[watch[0]].needs_histogram if watch else False:
         amax = {n: obs.amax for n, obs in observers.items()}
@@ -133,5 +150,6 @@ def calibrate(
                 observers[n].update_histogram(h, amax[n])
 
     return CalibrationResult(
-        scales={n: obs.scale() for n, obs in observers.items()}
+        scales={n: obs.scale() for n, obs in observers.items()},
+        channel_means=channel_means,
     )

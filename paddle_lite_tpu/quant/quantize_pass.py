@@ -44,6 +44,10 @@ class QuantConfig:
     skip_ops: Sequence[str] = ()  # op output-var names to keep fp32
     observer_kwargs: Optional[dict] = None
     bins: int = 2048
+    # E[(W - W_q)·x] bias compensation. Helps when weight residuals are
+    # systematic (per-TENSOR weights, sub-8-bit); measured neutral-to-noisy
+    # with per-channel int8 weights, hence default off.
+    bias_correction: bool = False
 
 
 _WEIGHT_AXIS = {  # per-channel axis = output-channel axis of the weight

@@ -45,9 +45,15 @@ def device_throughput(graph, feed, *, loop: int = 16, unit_axis: int = 0) -> flo
             cur, acc = carry
             out = fn(w, cur)[out_name]
             s = jnp.sum(out.astype(jnp.float32))
-            # perturb only float inputs; int inputs stay fixed
+            # every input must depend on the output, or XLA hoists the
+            # model out of the loop: floats get an epsilon shift, ints get
+            # a data-dependent (runtime-provably-zero-but-not-statically)
+            # increment
+            zero_i = (s > 1e30)
             nxt = {
-                k: (v + s * 1e-12 if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                k: (v + s * 1e-12
+                    if jnp.issubdtype(v.dtype, jnp.floating)
+                    else v + zero_i.astype(v.dtype))
                 for k, v in cur.items()
             }
             return nxt, acc + s

@@ -60,7 +60,18 @@ def optimize(
                 method=quant.method,
                 bins=quant.bins,
                 observer_kwargs=quant.observer_kwargs,
+                collect_channel_means=quant.bias_correction,
             )
+        fp32_snapshot = (
+            {k: np.array(v, copy=True) for k, v in graph.weights.items()
+             if v.dtype == np.float32}
+            if quant.bias_correction else None
+        )
         ptq_quantize(graph, calib_result, quant)
+        if quant.bias_correction:
+            from ..quant.bias_correction import apply_bias_correction
+
+            apply_bias_correction(graph, fp32_snapshot,
+                                  calib_result.channel_means)
     PassManager(FINALIZE_PASSES).run(graph, verbose=verbose)
     return graph

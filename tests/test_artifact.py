@@ -76,3 +76,23 @@ def test_predictor_validates_inputs(rng):
         pred.run({"x": np.zeros((1, 4, 4, 8), np.float32)})
     with pytest.raises(ValueError, match="unexpected"):
         pred.run({"x": np.zeros((2, 8, 8, 8), np.float32), "y": np.zeros(3)})
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    from paddle_lite_tpu.formats import orbax_ckpt
+
+    g = _small_model()
+    pred = create_predictor(
+        g, quant=QuantConfig(),
+        calib_batches=[{"x": rng.normal(size=(2, 8, 8, 8)).astype(np.float32)}],
+    )
+    feed = {"x": rng.normal(size=(2, 8, 8, 8)).astype(np.float32)}
+    ref = np.asarray(pred.run(feed)[g.outputs[0]])
+
+    path = str(tmp_path / "ckpt")
+    orbax_ckpt.save(g, path)
+    g2 = orbax_ckpt.load(path)
+    pred2 = Predictor(g2)
+    got = np.asarray(pred2.run(feed)[pred2.output_names[0]])
+    np.testing.assert_array_equal(got, ref)
+    assert any(w.dtype == np.int8 for w in g2.weights.values())
