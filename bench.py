@@ -53,7 +53,9 @@ def _device_throughput(graph) -> float:
         def body(i, carry):
             img, acc = carry
             out = fn(weights, {"image": img})[out_name]
-            s = jnp.sum(out.astype(jnp.float32))
+            # sum of squares: a plain sum over softmax outputs is a
+            # mathematical constant — don't hand XLA a foldable dependency
+            s = jnp.sum(jnp.square(out.astype(jnp.float32)))
             # data dependency: tiny perturbation of the next input
             return img + s * 1e-12, acc + s
 

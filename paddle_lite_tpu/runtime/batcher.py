@@ -136,9 +136,13 @@ class ContinuousBatcher:
             if pad:
                 arrs = arrs + [np.zeros_like(arrs[0])] * pad
             stacked[k] = np.concatenate(arrs, axis=0)
-        out = jax.device_get(pred.run(stacked))
+        # async dispatch: hand device arrays to the futures without blocking
+        # the dispatcher on a device->host readback — the next batch is
+        # collected while this one computes (inter-batch pipelining); the
+        # client's own np.asarray()/device_get is the sync point
+        out = pred.run(stacked)
         for i, p in enumerate(batch):
-            p.future.set_result({k: np.asarray(v)[i] for k, v in out.items()})
+            p.future.set_result({k: v[i] for k, v in out.items()})
         self.stats["batches"] += 1
         self.stats["requests"] += n
         self.stats["padded_slots"] += bucket - n

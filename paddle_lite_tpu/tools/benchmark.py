@@ -39,26 +39,42 @@ def device_throughput(graph, feed, *, loop: int = 16, unit_axis: int = 0) -> flo
     in_names = list(feed)
     batch = feed[in_names[0]].shape[unit_axis]
 
+    has_float_input = any(
+        jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
+        for v in feed.values()
+    )
+    # something the next iteration depends on must change, or XLA hoists
+    # the model out of the loop entirely: perturb float inputs when the
+    # model has them, else (int-only inputs, e.g. transformers) perturb one
+    # float WEIGHT — int-input perturbation makes the embedding gathers
+    # loop-variant and compiles pathologically slowly
+    float_w_key = None
+    if not has_float_input:
+        float_w_key = next(
+            k for k, v in weights.items()
+            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating))
+
     @functools.partial(jax.jit, static_argnames=("iters",))
     def looped(w, f, iters):
         def body(i, carry):
-            cur, acc = carry
-            out = fn(w, cur)[out_name]
-            s = jnp.sum(out.astype(jnp.float32))
-            # every input must depend on the output, or XLA hoists the
-            # model out of the loop: floats get an epsilon shift, ints get
-            # a data-dependent (runtime-provably-zero-but-not-statically)
-            # increment
-            zero_i = (s > 1e30)
-            nxt = {
-                k: (v + s * 1e-12
-                    if jnp.issubdtype(v.dtype, jnp.floating)
-                    else v + zero_i.astype(v.dtype))
-                for k, v in cur.items()
-            }
-            return nxt, acc + s
+            w_cur, f_cur, acc = carry
+            out = fn(w_cur, f_cur)[out_name]
+            # sum-of-squares: plain sum of a softmax output is provably
+            # constant, which lets XLA fold the dependency chain and DCE
+            # the whole loop
+            s = jnp.sum(jnp.square(out.astype(jnp.float32)))
+            if has_float_input:
+                f_cur = {
+                    k: (v + s * 1e-12
+                        if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                    for k, v in f_cur.items()
+                }
+            else:
+                w_cur = dict(w_cur)
+                w_cur[float_w_key] = w_cur[float_w_key] + s * 1e-12
+            return w_cur, f_cur, acc + s
 
-        _, acc = jax.lax.fori_loop(0, iters, body, (f, jnp.float32(0)))
+        _, _, acc = jax.lax.fori_loop(0, iters, body, (w, f, jnp.float32(0)))
         return acc
 
     def timed(it):

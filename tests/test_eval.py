@@ -1,0 +1,43 @@
+"""Eval-harness tests: the top1-delta contract machinery on a model whose
+int8 must agree with its own fp32."""
+
+import numpy as np
+
+from paddle_lite_tpu import GraphBuilder, QuantConfig
+from paddle_lite_tpu.runtime.predictor import Predictor, create_predictor
+from paddle_lite_tpu.tools.eval import evaluate, synthetic_dataset, top1_delta
+
+
+def _model():
+    b = GraphBuilder("m", seed=101)
+    x = b.input("x", (4, 8, 8, 8))
+    y = b.conv_bn_act(x, 16, 3, padding=1, act="relu")
+    y = b.pool2d(y, "avg", global_pooling=True)
+    y = b.reshape(y, (4, 16))
+    y = b.fc(y, 10)
+    b.mark_output(y)
+    return b.build()
+
+
+def test_evaluate_counts(rng):
+    pred = Predictor(_model())
+    data = list(synthetic_dataset("x", (4, 8, 8, 8), 10, batches=3))
+    res = evaluate(pred, data)
+    assert res.n == 12
+    assert 0.0 <= res.top1 <= res.top5 <= 1.0
+
+
+def test_top1_delta_int8_vs_fp32(rng):
+    data = list(synthetic_dataset("x", (4, 8, 8, 8), 10, batches=3))
+    fp32 = Predictor(_model())
+    int8 = create_predictor(
+        _model(), quant=QuantConfig(),
+        calib_batches=[inputs for inputs, _ in data[:2]],
+    )
+    out = top1_delta(fp32, int8, data)
+    # random-weight logits are nearly tied, so argmax flips on quantization
+    # noise — the machinery check is that agreement is high and the deltas
+    # are bounded (real-data accuracy gates live with the importer tests)
+    assert out["prediction_agreement"] >= 0.7, out
+    assert abs(out["top1_delta"]) <= 0.35, out
+    assert out["n"] == 12
