@@ -90,9 +90,10 @@ def main() -> None:
     fp32_ips = _device_throughput(g32)
 
     int8_variants = {}
-    for plan in ("xla", "auto"):
+    for plan in ("xla", "auto", "fused"):
         g8 = mobilenet_v1.build(batch=BATCH, image_size=SIZE, seed=0)
-        optimize(g8, quant=QuantConfig(), calib_batches=calib)
+        optimize(g8, quant=QuantConfig(), calib_batches=calib,
+                 fuse_dw_pw=(plan == "fused"))
         if plan == "xla":
             for op in g8.ops:
                 if op.attrs.get("kernel") == "pallas":

@@ -1,0 +1,187 @@
+"""Fused depthwise(3x3,s1) + pointwise(1x1) int8 Pallas kernel.
+
+MobileNet's basic block is dw-conv → pw-conv; executed separately, the
+depthwise output (the largest activation tensor in the block) makes a full
+HBM round trip between the two.  This kernel keeps it in VMEM: per grid
+step it computes a row-chunk of the depthwise stencil (VPU), requantizes to
+int8 in registers, immediately feeds it to the 1x1 GEMM (MXU) against a
+block of pointwise filters, and only the final pw output touches HBM.
+This inter-op fusion is the reference's conv+conv chaining taken one level
+further than its per-op NEON kernels could (they were separate function
+calls through memory) — a fusion only possible because we own the kernel.
+
+Grid: (batch, pw-output blocks).  VMEM per step (112x112x64 → 128 case):
+input slab ~0.8MB + pw weights C×bo ≤ 0.5MB + out rows ~1.6MB + chunk
+buffers — comfortably inside the budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..common import apply_activation
+
+_BO = 128  # pw output-channel block (lane tile)
+
+
+def _pick_row_chunk(h: int) -> int:
+    for ch in (16, 14, 8, 7, 4, 2, 1):
+        if h % ch == 0:
+            return ch
+    return 1
+
+
+def _kernel(x_ref, dww_ref, dwscale_ref, dwbias_ref, pww_ref, pwscale_ref,
+            pwbias_ref, out_ref, *,
+            h: int, w: int, c: int, row_chunk: int,
+            dw_act, dw_act_attrs, dw_out_scale,
+            pw_act, pw_act_attrs, pw_out_scale, out_dtype):
+    dw_w = dww_ref[:]          # (9, C) int8
+    dw_scale = dwscale_ref[:]  # (1, C) f32  (s_x * s_wdw per channel)
+    dw_bias = dwbias_ref[:]    # (1, C) f32
+    pw_w = pww_ref[:]          # (C, BO) int8
+    pw_scale = pwscale_ref[:]  # (1, BO) f32 (s_dwout * s_wpw per out chan)
+    pw_bias = pwbias_ref[:]    # (1, BO) f32
+
+    for rc in range(h // row_chunk):
+        r0 = rc * row_chunk
+        acc = jnp.zeros((row_chunk, w, c), jnp.int32)
+        for i in range(3):
+            for j in range(3):
+                xs = x_ref[0, r0 + i:r0 + i + row_chunk, j:j + w, :]
+                acc = acc + xs.astype(jnp.int32) * dw_w[3 * i + j].astype(jnp.int32)
+        y = acc.astype(jnp.float32) * dw_scale[0] + dw_bias[0]
+        y = apply_activation(y, dw_act, dw_act_attrs)
+        # requant to int8 — the tensor that previously went to HBM
+        dw_q = jnp.clip(jnp.round(y * (1.0 / dw_out_scale)), -127, 127
+                        ).astype(jnp.int8)
+        # immediately consume it on the MXU: (chunk*w, C) @ (C, BO)
+        flat = dw_q.reshape(row_chunk * w, c)
+        pacc = jax.lax.dot_general(
+            flat, pw_w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        z = pacc.astype(jnp.float32) * pw_scale[0] + pw_bias[0]
+        z = apply_activation(z, pw_act, pw_act_attrs)
+        if pw_out_scale is not None:
+            z = jnp.clip(jnp.round(z * (1.0 / pw_out_scale)), -127, 127)
+        out_ref[0, r0:r0 + row_chunk, :, :] = z.reshape(
+            row_chunk, w, _BO).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dw_act", "dw_act_attrs_t", "dw_out_scale",
+    "pw_act", "pw_act_attrs_t", "pw_out_scale", "interpret"))
+def _fused_impl(x, dw_w9, dw_eff, dw_bias, pw_w, pw_eff, pw_bias, *,
+                dw_act, dw_act_attrs_t, dw_out_scale,
+                pw_act, pw_act_attrs_t, pw_out_scale, interpret):
+    n, h, wdt, c = x.shape
+    oc = pw_w.shape[1]
+    # channel padding for lane alignment
+    cp = -c % 128
+    if cp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp)))
+        dw_w9 = jnp.pad(dw_w9, ((0, 0), (0, cp)))
+        dw_eff = jnp.pad(dw_eff, (0, cp))
+        dw_bias = jnp.pad(dw_bias, (0, cp))
+        pw_w = jnp.pad(pw_w, ((0, cp), (0, 0)))
+    cq = c + cp
+    op_ = -oc % _BO
+    if op_:
+        pw_w = jnp.pad(pw_w, ((0, 0), (0, op_)))
+        pw_eff = jnp.pad(pw_eff, (0, op_))
+        pw_bias = jnp.pad(pw_bias, (0, op_))
+    ocq = oc + op_
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out_dtype = jnp.int8 if pw_out_scale is not None else jnp.float32
+    row_chunk = _pick_row_chunk(h)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, h=h, w=wdt, c=cq, row_chunk=row_chunk,
+            dw_act=dw_act,
+            dw_act_attrs=dict(dw_act_attrs_t) if dw_act_attrs_t else None,
+            dw_out_scale=dw_out_scale,
+            pw_act=pw_act,
+            pw_act_attrs=dict(pw_act_attrs_t) if pw_act_attrs_t else None,
+            pw_out_scale=pw_out_scale, out_dtype=out_dtype,
+        ),
+        grid=(n, ocq // _BO),
+        in_specs=[
+            pl.BlockSpec((1, h + 2, wdt + 2, cq), lambda b, ob: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cq), lambda b, ob: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cq), lambda b, ob: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cq), lambda b, ob: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cq, _BO), lambda b, ob: (0, ob),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BO), lambda b, ob: (0, ob),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BO), lambda b, ob: (0, ob),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wdt, _BO), lambda b, ob: (b, 0, 0, ob),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wdt, ocq), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * wdt * cq * 9 + 2 * n * h * wdt * cq * ocq,
+            bytes_accessed=n * h * wdt * (cq + ocq),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, dw_w9,
+      dw_eff.reshape(1, -1).astype(jnp.float32),
+      dw_bias.reshape(1, -1).astype(jnp.float32),
+      pw_w,
+      pw_eff.reshape(1, -1).astype(jnp.float32),
+      pw_bias.reshape(1, -1).astype(jnp.float32))
+    return out[..., :oc]
+
+
+def fused_dw_pw_int8(
+    x,        # (N, H, W, C) int8
+    dw_w,     # (3, 3, 1, C) int8
+    dw_eff,   # (C,) f32 = s_x * s_dw
+    dw_bias,  # (C,) f32 or None
+    dw_out_scale: float,  # requant scale of the internal dw output
+    pw_w,     # (1, 1, C, O) or (C, O) int8
+    pw_eff,   # (O,) f32 = s_dwout * s_pw
+    pw_bias,  # (O,) f32 or None
+    *,
+    dw_act: Optional[str] = None, dw_act_attrs=None,
+    pw_act: Optional[str] = None, pw_act_attrs=None,
+    pw_out_scale: Optional[float] = None,
+    interpret: bool = False,
+):
+    c = x.shape[-1]
+    dw_w9 = jnp.asarray(dw_w).reshape(9, c)
+    pw_w2 = jnp.asarray(pw_w).reshape(c, -1)
+    oc = pw_w2.shape[1]
+    z = lambda n: jnp.zeros((n,), jnp.float32)
+    return _fused_impl(
+        x, dw_w9,
+        jnp.broadcast_to(jnp.asarray(dw_eff, jnp.float32), (c,)),
+        z(c) if dw_bias is None else jnp.asarray(dw_bias, jnp.float32),
+        pw_w2,
+        jnp.broadcast_to(jnp.asarray(pw_eff, jnp.float32), (oc,)),
+        z(oc) if pw_bias is None else jnp.asarray(pw_bias, jnp.float32),
+        dw_act=dw_act,
+        dw_act_attrs_t=tuple(sorted(dw_act_attrs.items())) if dw_act_attrs else None,
+        dw_out_scale=float(dw_out_scale),
+        pw_act=pw_act,
+        pw_act_attrs_t=tuple(sorted(pw_act_attrs.items())) if pw_act_attrs else None,
+        pw_out_scale=None if pw_out_scale is None else float(pw_out_scale),
+        interpret=interpret,
+    )

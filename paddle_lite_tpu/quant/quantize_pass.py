@@ -64,6 +64,7 @@ _DATA_SLOTS = {
     "fc": ("Input",),
     "mul": ("X",),
     "matmul": ("X", "Y"),
+    "fused_dw_pw": ("Input",),
 }
 
 _WEIGHT_SLOTS = {

@@ -40,6 +40,7 @@ def optimize(
     quant: Optional[QuantConfig] = None,
     calib_batches: Optional[Iterable[Dict[str, np.ndarray]]] = None,
     calib_result: Optional[CalibrationResult] = None,
+    fuse_dw_pw: bool = False,
     verbose: bool = False,
 ) -> Graph:
     """Run the full optimization pipeline in-place and return the graph.
@@ -73,5 +74,9 @@ def optimize(
 
             apply_bias_correction(graph, fp32_snapshot,
                                   calib_result.channel_means)
+        if fuse_dw_pw:
+            # inter-op dw+pw fusion (Pallas-only win; off by default until
+            # validated end-to-end on the target chip — see dw_pw_fused.py)
+            PassManager(["dw_pw_fuse"]).run(graph, verbose=verbose)
     PassManager(FINALIZE_PASSES).run(graph, verbose=verbose)
     return graph
