@@ -90,10 +90,11 @@ def main() -> None:
     fp32_ips = _device_throughput(g32)
 
     int8_variants = {}
-    for plan in ("xla", "auto", "fused"):
+    # "fused" (dw+pw single-kernel) measured 12.7k img/s — correct but
+    # blocked on VPU-stencil speed (see dw_pw_fused.py); not benched here
+    for plan in ("xla", "auto"):
         g8 = mobilenet_v1.build(batch=BATCH, image_size=SIZE, seed=0)
-        optimize(g8, quant=QuantConfig(), calib_batches=calib,
-                 fuse_dw_pw=(plan == "fused"))
+        optimize(g8, quant=QuantConfig(), calib_batches=calib)
         if plan == "xla":
             for op in g8.ops:
                 if op.attrs.get("kernel") == "pallas":

@@ -40,15 +40,16 @@ def _pick_row_chunk(h: int) -> int:
 
 def _kernel(x_ref, dww_ref, dwscale_ref, dwbias_ref, pww_ref, pwscale_ref,
             pwbias_ref, out_ref, *,
-            h: int, w: int, c: int, row_chunk: int,
+            h: int, w: int, c: int, oc: int, row_chunk: int,
             dw_act, dw_act_attrs, dw_out_scale,
             pw_act, pw_act_attrs, pw_out_scale, out_dtype):
+    # grid is (batch,) ONLY: the dw stencil result for a row chunk is
+    # computed once and reused for every pw output block (a grid axis over
+    # output blocks would recompute the stencil per block — measured 4x
+    # end-to-end regression on the first version of this kernel)
     dw_w = dww_ref[:]          # (9, C) int8
     dw_scale = dwscale_ref[:]  # (1, C) f32  (s_x * s_wdw per channel)
     dw_bias = dwbias_ref[:]    # (1, C) f32
-    pw_w = pww_ref[:]          # (C, BO) int8
-    pw_scale = pwscale_ref[:]  # (1, BO) f32 (s_dwout * s_wpw per out chan)
-    pw_bias = pwbias_ref[:]    # (1, BO) f32
 
     for rc in range(h // row_chunk):
         r0 = rc * row_chunk
@@ -62,17 +63,20 @@ def _kernel(x_ref, dww_ref, dwscale_ref, dwbias_ref, pww_ref, pwscale_ref,
         # requant to int8 — the tensor that previously went to HBM
         dw_q = jnp.clip(jnp.round(y * (1.0 / dw_out_scale)), -127, 127
                         ).astype(jnp.int8)
-        # immediately consume it on the MXU: (chunk*w, C) @ (C, BO)
         flat = dw_q.reshape(row_chunk * w, c)
-        pacc = jax.lax.dot_general(
-            flat, pw_w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        z = pacc.astype(jnp.float32) * pw_scale[0] + pw_bias[0]
-        z = apply_activation(z, pw_act, pw_act_attrs)
-        if pw_out_scale is not None:
-            z = jnp.clip(jnp.round(z * (1.0 / pw_out_scale)), -127, 127)
-        out_ref[0, r0:r0 + row_chunk, :, :] = z.reshape(
-            row_chunk, w, _BO).astype(out_dtype)
+        for ob in range(oc // _BO):
+            o0 = ob * _BO
+            pw_w = pww_ref[:, o0:o0 + _BO]          # (C, BO) int8
+            pacc = jax.lax.dot_general(
+                flat, pw_w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            z = pacc.astype(jnp.float32) * pwscale_ref[:, o0:o0 + _BO][0]
+            z = z + pwbias_ref[:, o0:o0 + _BO][0]
+            z = apply_activation(z, pw_act, pw_act_attrs)
+            if pw_out_scale is not None:
+                z = jnp.clip(jnp.round(z * (1.0 / pw_out_scale)), -127, 127)
+            out_ref[0, r0:r0 + row_chunk, :, o0:o0 + _BO] = z.reshape(
+                row_chunk, w, _BO).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -104,7 +108,7 @@ def _fused_impl(x, dw_w9, dw_eff, dw_bias, pw_w, pw_eff, pw_bias, *,
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, h=h, w=wdt, c=cq, row_chunk=row_chunk,
+            _kernel, h=h, w=wdt, c=cq, oc=ocq, row_chunk=row_chunk,
             dw_act=dw_act,
             dw_act_attrs=dict(dw_act_attrs_t) if dw_act_attrs_t else None,
             dw_out_scale=dw_out_scale,
@@ -112,28 +116,28 @@ def _fused_impl(x, dw_w9, dw_eff, dw_bias, pw_w, pw_eff, pw_bias, *,
             pw_act_attrs=dict(pw_act_attrs_t) if pw_act_attrs_t else None,
             pw_out_scale=pw_out_scale, out_dtype=out_dtype,
         ),
-        grid=(n, ocq // _BO),
+        grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h + 2, wdt + 2, cq), lambda b, ob: (b, 0, 0, 0),
+            pl.BlockSpec((1, h + 2, wdt + 2, cq), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cq), lambda b, ob: (0, 0),
+            pl.BlockSpec((9, cq), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cq), lambda b, ob: (0, 0),
+            pl.BlockSpec((1, cq), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cq), lambda b, ob: (0, 0),
+            pl.BlockSpec((1, cq), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cq, _BO), lambda b, ob: (0, ob),
+            pl.BlockSpec((cq, ocq), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BO), lambda b, ob: (0, ob),
+            pl.BlockSpec((1, ocq), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BO), lambda b, ob: (0, ob),
+            pl.BlockSpec((1, ocq), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, wdt, _BO), lambda b, ob: (b, 0, 0, ob),
+        out_specs=pl.BlockSpec((1, h, wdt, ocq), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wdt, ocq), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * wdt * cq * 9 + 2 * n * h * wdt * cq * ocq,
