@@ -20,11 +20,20 @@ configs fall back to the XLA lowering):
   single store — the same fused structure as the reference's NEON epilogue
   and our MXU GEMM kernel.
 
-Measured on the v5e (batch 64): int32 accumulation beats fp32 accumulation
-at every MobileNet shape (e.g. 28x28x256: 293 vs 29 GB/s effective), and
-this kernel beats XLA's depthwise lowering at 14x14x512 (173us vs 264us)
-while XLA keeps the larger-H shapes — the autotune table
-(tune_cache.measure_dw) routes per shape.
+Measured on the v5e (batch 64) — four formulations compared:
+- VPU int32 stencil (this kernel): 131-293 GB/s effective; int32 accumulate
+  beats fp32 accumulate everywhere (e.g. 28x28x256: 293 vs 29 GB/s)
+- dw-as-dense-GEMM (patches @ block-diag (9C,C) on MXU): Mosaic rejects the
+  concat+reshape patch construction (remote-compile error)
+- dw-as-9-diagonal-matmuls on MXU: compiles but slower still (131 GB/s at
+  112x64 falling to 18 GB/s at 28x256 — small matmuls never saturate the
+  systolic array and the per-tap reshapes dominate)
+- XLA's native dw lowering: ~213+ GB/s at the big shapes — the winner at
+  every bucket except 14x14x512 (this kernel: 173us vs 264us standalone,
+  though the in-model autotune validation kept XLA there too)
+The autotune table (tune_cache.measure_dw) routes per shape; XLA is the
+production depthwise path on this chip. Beating it needs a fundamentally
+better VPU schedule (open item for a future round).
 """
 
 from __future__ import annotations
