@@ -29,7 +29,7 @@ class OpPattern:
     def matches(self, op: OpNode) -> bool:
         if op.op_type not in self.op_types:
             return False
-        return self.where is None if self.where is None else self.where(op)
+        return True if self.where is None else self.where(op)
 
 
 def match_chain(

@@ -72,6 +72,16 @@ def _jsonable_attrs(attrs: dict) -> dict:
     for k, v in attrs.items():
         if isinstance(v, np.ndarray):
             out[k] = {"__ndarray__": v.tolist(), "dtype": str(v.dtype)}
+        elif isinstance(v, Graph):
+            # nested graphs (while/conditional_block bodies, subgraph op);
+            # their (small) weights are embedded inline
+            out[k] = {
+                "__graph__": graph_to_meta(v),
+                "weights": {
+                    n: {"__ndarray__": w.tolist(), "dtype": str(w.dtype)}
+                    for n, w in v.weights.items()
+                },
+            }
         elif isinstance(v, (np.integer,)):
             out[k] = int(v)
         elif isinstance(v, (np.floating,)):
@@ -88,6 +98,14 @@ def _attrs_from_json(attrs: dict) -> dict:
     for k, v in attrs.items():
         if isinstance(v, dict) and "__ndarray__" in v:
             out[k] = np.asarray(v["__ndarray__"], dtype=np.dtype(v["dtype"]))
+        elif isinstance(v, dict) and "__graph__" in v:
+            g = graph_from_meta(v["__graph__"])
+            g.weights = {
+                n: np.asarray(w["__ndarray__"], dtype=np.dtype(w["dtype"]))
+                for n, w in v["weights"].items()
+            }
+            g.rebuild_links()
+            out[k] = g
         else:
             out[k] = v
     return out

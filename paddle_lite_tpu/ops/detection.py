@@ -313,20 +313,20 @@ def multiclass_nms_xla(ctx, op, ins):
     n, m, c = scores.shape
 
     def per_image(bx, sc):
-        all_scores = []
-        all_boxes = []
-        all_labels = []
-        for cls in range(c):
-            if cls == background:
-                continue
-            s, cand, _ = _nms_single_class(bx, sc[:, cls], iou_t, score_t,
+        # vmap the per-class NMS across the class axis: ONE compiled NMS
+        # body regardless of class count (a python loop compiles C copies)
+        def one_class(s_col):
+            s, cand, _ = _nms_single_class(bx, s_col, iou_t, score_t,
                                            min(nms_top_k, m))
-            all_scores.append(s)
-            all_boxes.append(cand)
-            all_labels.append(jnp.full(s.shape, cls, jnp.float32))
-        s = jnp.concatenate(all_scores)
-        b = jnp.concatenate(all_boxes)
-        l = jnp.concatenate(all_labels)
+            return s, cand
+
+        s_all, cand_all = jax.vmap(one_class, in_axes=1)(sc)  # (C,k),(C,k,4)
+        cls_ids = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 0)
+        valid = cls_ids != background
+        s_all = jnp.where(valid, s_all, 0.0)
+        s = s_all.reshape(-1)
+        b = cand_all.reshape(-1, 4)
+        l = cls_ids.astype(jnp.float32).reshape(-1)
         k = min(keep_top_k, s.shape[0])
         top_s, idx = jax.lax.top_k(s, k)
         rows = jnp.concatenate(

@@ -301,7 +301,8 @@ def batch_norm_xla(ctx, op, ins):
 @OPS.shape_fn("pool2d")
 def pool2d_shape(attrs, in_shapes):
     n, h, w, c = in_shapes[0]
-    if attrs.get("global_pooling") or attrs.get("adaptive") and tuple(attrs.get("ksize")) == (1, 1):
+    adaptive_1x1 = attrs.get("adaptive") and tuple(attrs.get("ksize") or ()) == (1, 1)
+    if attrs.get("global_pooling") or adaptive_1x1:
         return [(n, 1, 1, c)]
     kh, kw = normalize_2d(attrs["ksize"])
     sh, sw = normalize_2d(attrs.get("strides", (1, 1)))

@@ -96,3 +96,37 @@ def test_orbax_checkpoint_roundtrip(tmp_path, rng):
     got = np.asarray(pred2.run(feed)[pred2.output_names[0]])
     np.testing.assert_array_equal(got, ref)
     assert any(w.dtype == np.int8 for w in g2.weights.values())
+
+
+def test_artifact_roundtrip_control_flow(tmp_path, rng):
+    """Graphs with nested-graph attrs (while blocks) survive save/load."""
+    from paddle_lite_tpu import GraphBuilder, build_callable, stage_weights
+    from paddle_lite_tpu.core.types import Precision
+    from paddle_lite_tpu.formats import artifact
+
+    bb = GraphBuilder("block")
+    c_in = bb.input("cond_in", (1,), precision=Precision.BOOL)
+    x_in = bb.input("x_in", (1,))
+    bb.weight("one", np.ones((1,), np.float32))
+    bb.weight("limit", np.full((1,), 3.0, np.float32))
+    nx = bb.eltwise(x_in, "one", "add")
+    nc = bb.op("less_than", {"X": [nx], "Y": ["limit"]},
+               shape_args=[nx, "limit"])[0]
+    bb.mark_output(nc, nx)
+    block = bb.build()
+
+    b = GraphBuilder("outer")
+    cond0 = b.input("cond", (1,), precision=Precision.BOOL)
+    x0 = b.input("x", (1,))
+    outs = b.op("while", {"X": [cond0, x0]},
+                attrs={"block": block, "cond_index": 0, "max_iters": 10},
+                shape_args=[cond0, x0], out_slots=("Out",))
+    b.mark_output(outs[1])
+    g = b.build()
+
+    path = str(tmp_path / "cf.pnb")
+    artifact.save(g, path)
+    g2 = artifact.load(path)
+    feed = {"cond": np.ones((1,), np.bool_), "x": np.zeros((1,), np.float32)}
+    got = build_callable(g2)(stage_weights(g2), feed)
+    assert float(np.asarray(got[g2.outputs[0]]).reshape(())) == 3.0

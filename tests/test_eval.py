@@ -41,3 +41,21 @@ def test_top1_delta_int8_vs_fp32(rng):
     assert out["prediction_agreement"] >= 0.7, out
     assert abs(out["top1_delta"]) <= 0.35, out
     assert out["n"] == 12
+
+
+def test_latency_report_smoke(rng):
+    """Prefix-differencing profiler runs and attributes every op (timings on
+    the CPU backend are meaningless; the structure is what's under test)."""
+    from paddle_lite_tpu.tools.profile import latency_report
+
+    b = GraphBuilder("m", seed=103)
+    x = b.input("x", (1, 4, 4, 4))
+    y = b.conv_bn_act(x, 8, 1, act="relu")
+    y = b.pool2d(y, "avg", global_pooling=True)
+    b.mark_output(y)
+    g = b.build()
+    rows = latency_report(g, {"x": np.zeros((1, 4, 4, 4), np.float32)},
+                          iters=2)
+    assert len(rows) == len(g.ops)
+    assert all(r["ms"] >= 0 for r in rows)
+    assert [r["op"] for r in rows][:1] == ["conv2d"]
