@@ -92,25 +92,30 @@ def build_det(batch: int = 1, image_size: int = 640, neck_ch: int = 96,
 # ---------------------------------------------------------------------------
 
 def _bigru(b: GraphBuilder, x: str, hidden: int, name: str) -> str:
-    """Bidirectional GRU: int8-quantizable input-projection mul + two scans."""
+    """Bidirectional GRU: int8-quantizable input-projection muls + ONE
+    direction-vmapped scan (bidirectional_gru op — both directions advance
+    per step, half the sequential depth of two chained gru ops)."""
     d = b.g.vars[x].shape[-1]
-    outs = []
-    for direction, reverse in (("fw", False), ("bw", True)):
+    projs, whs, biases = [], [], []
+    for direction in ("fw", "bw"):
         w_ih = b.rand_weight(f"{name}.{direction}.w_ih", (d, 3 * hidden),
                              scale=np.sqrt(1.0 / d))
-        proj = b.op("mul", {"X": [x], "Y": [w_ih]},
-                    attrs={"x_num_col_dims": 2, "y_num_col_dims": 1},
-                    shape_args=[x, w_ih], out_name=f"{name}.{direction}.proj")[0]
-        w_hh = b.rand_weight(f"{name}.{direction}.w_hh", (hidden, 3 * hidden),
-                             scale=np.sqrt(1.0 / hidden))
-        bias = b.weight(f"{name}.{direction}.b",
-                        np.zeros((3 * hidden,), np.float32))
-        h = b.op("gru", {"Input": [proj], "Weight": [w_hh], "Bias": [bias]},
-                 attrs={"is_reverse": reverse},
-                 shape_args=[proj], out_slots=("Hidden",),
-                 out_name=f"{name}.{direction}")[0]
-        outs.append(h)
-    return b.concat(outs, axis=-1)
+        projs.append(b.op("mul", {"X": [x], "Y": [w_ih]},
+                          attrs={"x_num_col_dims": 2, "y_num_col_dims": 1},
+                          shape_args=[x, w_ih],
+                          out_name=f"{name}.{direction}.proj")[0])
+        whs.append(b.rand_weight(f"{name}.{direction}.w_hh",
+                                 (hidden, 3 * hidden),
+                                 scale=np.sqrt(1.0 / hidden)))
+        biases.append(b.weight(f"{name}.{direction}.b",
+                               np.zeros((3 * hidden,), np.float32)))
+    return b.op(
+        "bidirectional_gru",
+        {"Input": [projs[0]], "InputRev": [projs[1]],
+         "WeightFw": [whs[0]], "WeightBw": [whs[1]],
+         "BiasFw": [biases[0]], "BiasBw": [biases[1]]},
+        shape_args=[projs[0]], out_slots=("Hidden",), out_name=name,
+    )[0]
 
 
 def build_rec(batch: int = 1, height: int = 32, width: int = 320,
