@@ -116,3 +116,44 @@ def conditional_block_xla(ctx, op, ins):
 
     outs = jax.lax.cond(cond, true_fn, false_fn, state)
     return {"Out": list(outs)}
+
+
+# ---------------------------------------------------------------------------
+# split_lod_tensor / merge_lod_tensor — the reference's conditional-branch
+# plumbing (lite/operators/{split,merge}_lod_tensor_op.cc): a row mask routes
+# each batch row into a true- or false-branch tensor and merges results back.
+# TPU-native dense semantics: both branches keep the full static row count
+# (non-member rows zeroed on split) and merge is a row-wise select — the
+# jit-compatible formulation; compute both branches, select per row.
+# ---------------------------------------------------------------------------
+
+def _row_mask(mask, like):
+    m = mask.reshape(mask.shape[0], *([1] * (like.ndim - 1)))
+    return m.astype(jnp.bool_)
+
+
+@OPS.shape_fn("split_lod_tensor")
+def split_lod_tensor_shape(attrs, in_shapes):
+    return [in_shapes[0], in_shapes[0]]
+
+
+@OPS.kernel("split_lod_tensor", "xla")
+def split_lod_tensor_xla(ctx, op, ins):
+    x = ins["X"][0]
+    m = _row_mask(ins["Mask"][0], x)
+    zero = jnp.zeros((), x.dtype)
+    return {"OutTrue": [jnp.where(m, x, zero)],
+            "OutFalse": [jnp.where(m, zero, x)]}
+
+
+@OPS.shape_fn("merge_lod_tensor")
+def merge_lod_tensor_shape(attrs, in_shapes):
+    return [in_shapes[1]]  # [Mask, InTrue, InFalse]
+
+
+@OPS.kernel("merge_lod_tensor", "xla")
+def merge_lod_tensor_xla(ctx, op, ins):
+    t = ins["InTrue"][0]
+    f = ins["InFalse"][0]
+    m = _row_mask(ins["Mask"][0], t)
+    return {"Out": [jnp.where(m, t, f)]}

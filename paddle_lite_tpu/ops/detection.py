@@ -437,3 +437,77 @@ def roi_align_xla(ctx, op, ins):
         return pooled
 
     return {"Out": [jax.vmap(one_roi)(rois)]}
+
+
+# ---------------------------------------------------------------------------
+# generate_proposals — RPN proposal generation (Faster-RCNN family); analog of
+# lite/operators/generate_proposals_op.cc + the host-side proposal kernels.
+# TPU-native design: fixed-shape masked pipeline (decode -> clip -> min-size
+# filter -> NMS), vmapped over the batch; invalid slots carry score 0 so the
+# output shape is static (post_nms_top_n, 4) per image.
+# ---------------------------------------------------------------------------
+
+@OPS.shape_fn("generate_proposals")
+def generate_proposals_shape(attrs, in_shapes):
+    n = in_shapes[0][0]  # Scores (N, H, W, A)
+    post = int(attrs.get("post_nms_topN", 1000))
+    return [(n, post, 4), (n, post)]
+
+
+@OPS.kernel("generate_proposals", "xla")
+def generate_proposals_xla(ctx, op, ins):
+    scores = ins["Scores"][0]        # (N, H, W, A) objectness, NHWC-style
+    deltas = ins["BboxDeltas"][0]    # (N, H, W, A*4)
+    im_shape = ins["ImShape"][0]     # (N, 2) [h, w]
+    anchors = ins["Anchors"][0].reshape(-1, 4)    # (H*W*A, 4) xyxy
+    variances = ins.get("Variances", [None])[0]
+    attrs = op.attrs
+    pre_n = int(attrs.get("pre_nms_topN", 6000))
+    post_n = int(attrs.get("post_nms_topN", 1000))
+    nms_t = float(attrs.get("nms_thresh", 0.7))
+    min_size = float(attrs.get("min_size", 0.0))
+    eta = float(attrs.get("eta", 1.0))  # adaptive-NMS unused (eta>=1)
+    del eta
+
+    n = scores.shape[0]
+    total = anchors.shape[0]
+    var = (variances.reshape(-1, 4) if variances is not None
+           else jnp.ones((total, 4), jnp.float32))
+
+    aw = anchors[:, 2] - anchors[:, 0] + 1.0
+    ah = anchors[:, 3] - anchors[:, 1] + 1.0
+    acx = anchors[:, 0] + aw * 0.5
+    acy = anchors[:, 1] + ah * 0.5
+
+    def per_image(sc, dl, im):
+        s = sc.reshape(-1)                 # (H*W*A,)
+        d = dl.reshape(-1, 4)              # (H*W*A, 4)
+        k = min(pre_n, total)
+        top_s, idx = jax.lax.top_k(s, k)
+        d, v = d[idx], var[idx]
+        cx = v[:, 0] * d[:, 0] * aw[idx] + acx[idx]
+        cy = v[:, 1] * d[:, 1] * ah[idx] + acy[idx]
+        # clip dw/dh like the reference (log(1000/16)) to avoid exp overflow
+        bw = jnp.exp(jnp.minimum(v[:, 2] * d[:, 2], 4.135)) * aw[idx]
+        bh = jnp.exp(jnp.minimum(v[:, 3] * d[:, 3], 4.135)) * ah[idx]
+        imh, imw = im[0].astype(jnp.float32), im[1].astype(jnp.float32)
+        x1 = jnp.clip(cx - bw * 0.5, 0.0, imw - 1.0)
+        y1 = jnp.clip(cy - bh * 0.5, 0.0, imh - 1.0)
+        x2 = jnp.clip(cx + bw * 0.5, 0.0, imw - 1.0)
+        y2 = jnp.clip(cy + bh * 0.5, 0.0, imh - 1.0)
+        boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+        ok = ((x2 - x1 + 1.0) >= min_size) & ((y2 - y1 + 1.0) >= min_size)
+        top_s = jnp.where(ok, top_s, 0.0)
+        kept_s, cand, _ = _nms_single_class(boxes, top_s, nms_t, 0.0,
+                                            min(post_n, k))
+        # compact survivors to the front (invalid slots carry score 0)
+        kept_s, order = jax.lax.top_k(kept_s, kept_s.shape[0])
+        cand = cand[order]
+        m = kept_s.shape[0]
+        if m < post_n:
+            kept_s = jnp.pad(kept_s, (0, post_n - m))
+            cand = jnp.pad(cand, ((0, post_n - m), (0, 0)))
+        return cand, kept_s
+
+    rois, probs = jax.vmap(per_image)(scores, deltas, im_shape)
+    return {"RpnRois": [rois], "RpnRoiProbs": [probs]}

@@ -289,3 +289,117 @@ def bigru_xla(ctx, op, ins):
     fw = outs[0]
     bw = jnp.flip(outs[1], axis=1)
     return {"Hidden": [jnp.concatenate([fw, bw], axis=-1)]}
+
+
+# ---------------------------------------------------------------------------
+# gru_unit — one GRU step (the op the reference's while-based decoders chain;
+# analog of lite/operators/gru_unit_op.cc). Same gate layout as `gru`.
+# ---------------------------------------------------------------------------
+
+@OPS.shape_fn("gru_unit")
+def gru_unit_shape(attrs, in_shapes):
+    b, three_h = in_shapes[0]
+    h = three_h // 3
+    return [(b, h), (b, h), (b, 2 * h)]
+
+
+@OPS.kernel("gru_unit", "xla")
+def gru_unit_xla(ctx, op, ins):
+    x = ins["Input"][0]          # (B, 3H) x_t @ W_ih
+    h_prev = ins["HiddenPrev"][0]  # (B, H)
+    w = ins["Weight"][0]         # (H, 3H)
+    bias = ins.get("Bias", [None])[0]
+    attrs = op.attrs
+    gate_act = attrs.get("gate_activation", "sigmoid")
+    cand_act = attrs.get("activation", "tanh")
+    h = h_prev.shape[-1]
+    if bias is not None:
+        x = x + bias
+    g = x[:, : 2 * h] + h_prev @ w[:, : 2 * h]
+    u = apply_activation(g[:, :h], gate_act)
+    r = apply_activation(g[:, h:], gate_act)
+    rh = r * h_prev
+    c = apply_activation(x[:, 2 * h:] + rh @ w[:, 2 * h:], cand_act)
+    h_new = u * h_prev + (1.0 - u) * c
+    gates = jnp.concatenate([u, r], axis=-1)
+    return {"Hidden": [h_new], "ResetHiddenPrev": [rh], "Gate": [gates]}
+
+
+# ---------------------------------------------------------------------------
+# sequence_expand / sequence_concat — dense analogs of the LoD ops (the
+# raggedness itself is a non-goal, SURVEY §5.7: batches are dense+bucketed).
+# ---------------------------------------------------------------------------
+
+@OPS.shape_fn("sequence_expand")
+def sequence_expand_shape(attrs, in_shapes):
+    # X (B, 1, D) or (B, D) broadcast along the ref tensor's time axis
+    x, y = in_shapes
+    d = x[-1]
+    return [(x[0], y[1], d)]
+
+
+@OPS.kernel("sequence_expand", "xla")
+def sequence_expand_xla(ctx, op, ins):
+    """Dense semantics: each batch row of X is repeated along Y's time axis
+    (the uniform-LoD case of the reference op; per-row ragged repeat counts
+    are absorbed by the bucketed batcher)."""
+    x = ins["X"][0]
+    y = ins["Y"][0]
+    t = y.shape[1]
+    if x.ndim == 2:
+        x = x[:, None, :]
+    return {"Out": [jnp.broadcast_to(x, (x.shape[0], t, x.shape[-1]))]}
+
+
+@OPS.shape_fn("sequence_concat")
+def sequence_concat_shape(attrs, in_shapes):
+    t = sum(s[1] for s in in_shapes)
+    b, _, d = in_shapes[0]
+    return [(b, t, d)]
+
+
+@OPS.kernel("sequence_concat", "xla")
+def sequence_concat_xla(ctx, op, ins):
+    return {"Out": [jnp.concatenate(ins["X"], axis=1)]}
+
+
+# ---------------------------------------------------------------------------
+# beam_search — one decoder step (analog of lite/operators/beam_search_op.cc,
+# used inside the reference's while-op decoders). Dense fixed-shape design:
+# scores (B, beam, V) -> top-beam continuations per batch element, with
+# finished beams (pre_ids == end_id) frozen by masking their expansion to a
+# single end_id continuation. All shapes static; jit/vmap friendly.
+# ---------------------------------------------------------------------------
+
+@OPS.shape_fn("beam_search")
+def beam_search_shape(attrs, in_shapes):
+    b, beam, v = in_shapes[2]
+    return [(b, beam), (b, beam), (b, beam)]
+
+
+@OPS.kernel("beam_search", "xla")
+def beam_search_xla(ctx, op, ins):
+    pre_ids = ins["pre_ids"][0]        # (B, beam) int32
+    pre_scores = ins["pre_scores"][0]  # (B, beam) accumulated log-probs
+    probs = ins["scores"][0]           # (B, beam, V) next-token probabilities
+    attrs = op.attrs
+    end_id = int(attrs.get("end_id", 0))
+    beam = probs.shape[1]
+    v = probs.shape[-1]
+
+    logp = jnp.log(jnp.maximum(probs, 1e-20))
+    finished = pre_ids == end_id       # (B, beam)
+    # finished beams contribute exactly one continuation: end_id, score kept
+    keep_mask = jax.nn.one_hot(end_id, v, dtype=logp.dtype)  # (V,)
+    cand = jnp.where(
+        finished[..., None],
+        jnp.where(keep_mask > 0, 0.0, -jnp.inf),
+        logp,
+    ) + pre_scores[..., None]          # (B, beam, V)
+
+    flat = cand.reshape(cand.shape[0], beam * v)
+    top_s, idx = jax.lax.top_k(flat, beam)       # (B, beam)
+    parent = (idx // v).astype(jnp.int32)
+    token = (idx % v).astype(jnp.int32)
+    return {"selected_ids": [token], "selected_scores": [top_s],
+            "parent_idx": [parent]}

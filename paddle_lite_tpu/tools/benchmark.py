@@ -39,42 +39,29 @@ def device_throughput(graph, feed, *, loop: int = 16, unit_axis: int = 0) -> flo
     in_names = list(feed)
     batch = feed[in_names[0]].shape[unit_axis]
 
-    has_float_input = any(
-        jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
-        for v in feed.values()
-    )
-    # something the next iteration depends on must change, or XLA hoists
-    # the model out of the loop entirely: perturb float inputs when the
-    # model has them, else (int-only inputs, e.g. transformers) perturb one
-    # float WEIGHT — int-input perturbation makes the embedding gathers
-    # loop-variant and compiles pathologically slowly
-    float_w_key = None
-    if not has_float_input:
-        float_w_key = next(
-            k for k, v in weights.items()
-            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating))
-
     @functools.partial(jax.jit, static_argnames=("iters",))
     def looped(w, f, iters):
         def body(i, carry):
-            w_cur, f_cur, acc = carry
-            out = fn(w_cur, f_cur)[out_name]
+            f_cur, acc = carry
+            out = fn(w, f_cur)[out_name]
             # sum-of-squares: plain sum of a softmax output is provably
             # constant, which lets XLA fold the dependency chain and DCE
             # the whole loop
             s = jnp.sum(jnp.square(out.astype(jnp.float32)))
-            if has_float_input:
-                f_cur = {
-                    k: (v + s * 1e-12
-                        if jnp.issubdtype(v.dtype, jnp.floating) else v)
-                    for k, v in f_cur.items()
-                }
-            else:
-                w_cur = dict(w_cur)
-                w_cur[float_w_key] = w_cur[float_w_key] + s * 1e-12
-            return w_cur, f_cur, acc + s
+            # runtime-zero data-dependent bump: XLA cannot fold `s > 3e38`
+            # (s is computed each iteration), so every input — int token
+            # ids included — is loop-variant and the model body cannot be
+            # hoisted; at run time the predicate is false and the inputs
+            # stay bit-identical across iterations (no drift)
+            bump = s > jnp.float32(3e38)
+            f_cur = {
+                k: (v ^ bump if v.dtype == jnp.bool_
+                    else v + bump.astype(v.dtype))
+                for k, v in f_cur.items()
+            }
+            return f_cur, acc + s
 
-        _, _, acc = jax.lax.fori_loop(0, iters, body, (w, f, jnp.float32(0)))
+        _, acc = jax.lax.fori_loop(0, iters, body, (f, jnp.float32(0)))
         return acc
 
     def timed(it):
@@ -83,7 +70,14 @@ def device_throughput(graph, feed, *, loop: int = 16, unit_axis: int = 0) -> flo
         return time.perf_counter() - t0
 
     timed(1)
-    timed(1 + loop)
+    t1 = timed(1 + loop)
+    # the delta must dwarf the ~28ms tunnel-RTT jitter on timed(1), or the
+    # result is noise (observed 5x-inflated outliers at ~40ms deltas):
+    # auto-scale the iteration count to a >=0.5s on-device window
+    est_delta = max(t1 - timed(1), 1e-3)
+    if est_delta < 0.5:
+        loop = min(int(loop * 0.5 / est_delta) + 1, 512)
+        timed(1 + loop)  # compile the rescaled variant
     deltas = [timed(1 + loop) - timed(1) for _ in range(3)]
     dt = max(float(np.median(deltas)), 1e-9)
     return batch * loop / dt
@@ -92,10 +86,9 @@ def device_throughput(graph, feed, *, loop: int = 16, unit_axis: int = 0) -> flo
 def dispatch_throughput(graph, feed, *, calls: int = 30) -> float:
     """Items/sec via sequential async dispatch: issue `calls` run()s on the
     in-order device stream, read back only the last output. Valid lower
-    bound including per-call dispatch overhead — the honest serving number,
-    and the only robust method for int-only-input models (the fori_loop
-    harness needs a float perturbation chain XLA can neither hoist nor
-    fold, which transformer id-inputs defeat)."""
+    bound including per-call dispatch overhead — the honest serving number.
+    Prefer the loop method for pure on-device throughput (it handles
+    int-only inputs via the runtime-zero bump in ``device_throughput``)."""
     from ..core.executor import build_callable, stage_weights
 
     fn = jax.jit(build_callable(graph))
