@@ -22,12 +22,10 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 BATCH = 64
@@ -36,44 +34,17 @@ LOOP = 20
 
 
 def _device_throughput(graph) -> float:
-    """Images/sec via the iteration-delta method (see module docstring)."""
-    import functools
+    """Images/sec via the iteration-delta method (see module docstring).
 
-    from paddle_lite_tpu.core.executor import build_callable, stage_weights
+    Delegates to tools.benchmark.device_throughput, which auto-scales the
+    iteration count to a >=0.5s on-device window and discards deltas below
+    the tunnel-jitter floor — at 40k+ img/s a fixed 20-iter delta is ~30ms,
+    the same magnitude as the RTT jitter it must dwarf."""
+    from paddle_lite_tpu.tools.benchmark import device_throughput
 
-    fn = build_callable(graph)
-    weights = jax.device_put(stage_weights(graph))
     rng = np.random.default_rng(0)
-    image = jax.device_put(
-        rng.normal(size=(BATCH, SIZE, SIZE, 3)).astype(np.float32))
-    out_name = graph.outputs[0]
-
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def looped(weights, image, iters):
-        def body(i, carry):
-            img, acc = carry
-            out = fn(weights, {"image": img})[out_name]
-            # sum of squares: a plain sum over softmax outputs is a
-            # mathematical constant — don't hand XLA a foldable dependency
-            s = jnp.sum(jnp.square(out.astype(jnp.float32)))
-            # data dependency: tiny perturbation of the next input
-            return img + s * 1e-12, acc + s
-
-        _, acc = jax.lax.fori_loop(0, iters, body, (image, jnp.float32(0)))
-        return acc  # scalar readback forces completion on the async backend
-
-    def timed(iters: int) -> float:
-        t0 = time.perf_counter()
-        float(jax.device_get(looped(weights, image, iters)))
-        return time.perf_counter() - t0
-
-    timed(1)  # compile both variants
-    timed(1 + LOOP)
-    deltas = []
-    for _ in range(3):
-        deltas.append(timed(1 + LOOP) - timed(1))
-    dt = max(np.median(deltas), 1e-9)
-    return BATCH * LOOP / dt
+    feed = {"image": rng.normal(size=(BATCH, SIZE, SIZE, 3)).astype(np.float32)}
+    return device_throughput(graph, feed, loop=LOOP)
 
 
 def main() -> None:

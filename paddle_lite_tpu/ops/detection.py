@@ -272,20 +272,37 @@ def _iou_matrix(boxes):
 
 def _nms_single_class(boxes, scores, iou_thresh, score_thresh, top_k):
     """Greedy NMS over top_k candidates; returns (scores, boxes) with
-    suppressed entries zeroed. Static shapes throughout."""
+    suppressed entries zeroed. Static shapes throughout.
+
+    Exact greedy semantics via a Jacobi fixed point of the recurrence
+    ``keep[i] = valid[i] and no kept j<i overlaps i``: each round is ONE
+    dense (k, k) masked reduction on the VPU and the iteration converges in
+    suppression-chain-depth rounds (typically <=5) — versus the naive k
+    *sequential* fori_loop steps, which are pure latency on TPU and
+    dominated whole-model SSD serving time (k=400 steps x ~10us/step)."""
     k = min(top_k, scores.shape[0])
     top_scores, idx = jax.lax.top_k(scores, k)
     cand = boxes[idx]
     iou = _iou_matrix(cand)
-    valid0 = top_scores > score_thresh
+    valid = top_scores > score_thresh
+    # sup[j, i]: higher-scored j would suppress i (strict upper triangle:
+    # top_k output is score-descending, so j<i means score_j >= score_i)
+    j_lt_i = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
+    sup = (iou > iou_thresh) & j_lt_i
 
-    def body(i, keep):
-        # suppress i's lower-scored overlaps if i is still alive
-        alive_i = keep[i]
-        sup = (iou[i] > iou_thresh) & (jnp.arange(k) > i) & alive_i
-        return keep & ~sup
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
 
-    keep = jax.lax.fori_loop(0, k, body, valid0)
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(sup & keep[:, None], axis=0)
+        return valid & ~suppressed, keep, it + jnp.int32(1)
+
+    # keep[i] depends only on keep[j<i], so the fixed point is unique and
+    # equals the sequential greedy result; reached in <= chain-depth rounds
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, ~valid, jnp.int32(0)))
     return jnp.where(keep, top_scores, 0.0), cand, idx
 
 

@@ -156,3 +156,59 @@ def identity_elimination(graph: Graph) -> None:
         if out_name in graph.outputs and in_name in graph.inputs:
             continue  # degenerate: input directly wired to output
         _drop_op_rewire(graph, op, in_name, out_name)
+
+
+@register_pass("parallel_fc_fuse")
+def parallel_fc_fuse(graph: Graph) -> None:
+    """Merge sibling fc ops that read the SAME input activation into one
+    GEMM + split — the transformer QKV fusion.  No reference counterpart
+    (the reference ran ops one-by-one on CPU where this doesn't pay); on the
+    MXU one (M, K)x(K, 3O) matmul beats three (M, K)x(K, O) launches and
+    reads the activation from HBM once instead of three times.  Runs after
+    ``fc_fuse`` (so mul+add chains are already fc) and before calibration,
+    which therefore observes the fused graph.
+    """
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for op in graph.ops:
+        if op.op_type != "fc" or op.attrs.get("fuse_act"):
+            continue
+        w_name = op.maybe_input("W")
+        if w_name is None or not graph.vars[w_name].is_weight:
+            continue
+        w = graph.weights[w_name]
+        if w.ndim != 2 or w.dtype != np.float32:
+            continue
+        x_name = op.input("Input")
+        ncd = int(op.attrs.get("in_num_col_dims",
+                               len(graph.vars[x_name].shape) - 1))
+        groups[(x_name, ncd, w.shape[0])].append(op)
+
+    for (x_name, ncd, k), ops in groups.items():
+        if len(ops) < 2:
+            continue
+        sections = [int(graph.weights[o.input("W")].shape[1]) for o in ops]
+        w_cat = np.concatenate(
+            [graph.weights[o.input("W")] for o in ops], axis=1)
+        biases = []
+        for o, sec in zip(ops, sections):
+            b = o.maybe_input("Bias")
+            biases.append(graph.weights[b].reshape(-1) if b
+                          else np.zeros((sec,), np.float32))
+        w_name = graph.unique_name(ops[0].input("W") + ".pfc")
+        graph.add_weight(w_name, w_cat.astype(np.float32))
+        b_name = graph.unique_name(w_name + ".bias")
+        graph.add_weight(b_name, np.concatenate(biases).astype(np.float32))
+        lead = tuple(graph.vars[ops[0].output("Out")].shape[:-1])
+        fused_out = graph.unique_name(x_name + ".pfc")
+        graph.add_var(fused_out, lead + (sum(sections),))
+        graph.add_op("fc", {"Input": [x_name], "W": [w_name],
+                            "Bias": [b_name]},
+                     {"Out": [fused_out]}, {"in_num_col_dims": ncd})
+        # split writes straight into the original output names: consumers
+        # (and their calibrated scales) are untouched
+        graph.add_op("split", {"X": [fused_out]},
+                     {"Out": [o.output("Out") for o in ops]},
+                     {"axis": len(lead), "sections": sections})
+        graph.remove_ops(ops)

@@ -29,6 +29,7 @@ QUANTIZABLE_OPS = ("conv2d", "depthwise_conv2d", "fc", "mul", "matmul")
 TRANSPARENT_OPS = (
     "reshape", "reshape2", "flatten", "flatten2", "squeeze", "squeeze2",
     "unsqueeze", "unsqueeze2", "transpose", "transpose2",
+    "split",  # slices share the input's scale (QKV-fused GEMM outputs)
 )
 # pool2d is int8-in/int8-out with the same scale (max exactly; avg rounds)
 PASSTHROUGH_OPS = TRANSPARENT_OPS + ("pool2d",)

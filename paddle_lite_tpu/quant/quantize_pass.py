@@ -40,7 +40,17 @@ class QuantConfig:
 
     method: CalibMethod = CalibMethod.ABS_MAX
     per_channel_weights: bool = True
-    quant_act_act_matmul: bool = True  # attention QK/PV matmuls
+    # Attention QK/PV (activation x activation) matmuls: int8 needs BOTH
+    # operands quantized at runtime (two extra HBM passes) and the K=head_dim
+    # contractions are too small to amortize them — measured 14% slower on
+    # ERNIE-tiny (TPU v5e: 12.9k vs 15.0k seqs/s). Off by default; weight
+    # GEMMs stay int8 (matches reference-era quantized-ERNIE deployments).
+    quant_act_act_matmul: bool = False
+    # Depthwise convs are VPU-bound (no MXU help); the VPU has no int8 MAC,
+    # so int8 depthwise lowers to int32 multiplies that can run BELOW fp32
+    # throughput. True keeps them int8 (saves HBM traffic in dw-heavy
+    # MobileNets); set False for large-spatial dw trunks if measured slower.
+    quant_depthwise: bool = True
     skip_ops: Sequence[str] = ()  # op output-var names to keep fp32
     observer_kwargs: Optional[dict] = None
     bins: int = 2048
@@ -101,6 +111,8 @@ def quantize_weight_per_tensor(w: np.ndarray):
 
 def _is_quantizable(graph: Graph, op: OpNode, config: QuantConfig) -> bool:
     if op.op_type not in QUANTIZABLE_OPS:
+        return False
+    if op.op_type == "depthwise_conv2d" and not config.quant_depthwise:
         return False
     if any(n in config.skip_ops for n in op.output_names()):
         return False

@@ -69,18 +69,25 @@ def device_throughput(graph, feed, *, loop: int = 16, unit_axis: int = 0) -> flo
         float(jax.device_get(looped(weights, feed, it)))
         return time.perf_counter() - t0
 
-    timed(1)
-    t1 = timed(1 + loop)
+    timed(1)  # compile the base variant
     # the delta must dwarf the ~28ms tunnel-RTT jitter on timed(1), or the
-    # result is noise (observed 5x-inflated outliers at ~40ms deltas):
-    # auto-scale the iteration count to a >=0.5s on-device window
-    est_delta = max(t1 - timed(1), 1e-3)
-    if est_delta < 0.5:
-        loop = min(int(loop * 0.5 / est_delta) + 1, 512)
-        timed(1 + loop)  # compile the rescaled variant
-    deltas = [timed(1 + loop) - timed(1) for _ in range(3)]
-    dt = max(float(np.median(deltas)), 1e-9)
-    return batch * loop / dt
+    # result is noise (observed 5x-inflated outliers at ~40ms deltas).
+    # Grow the iteration count geometrically until the MEASURED median
+    # delta gives a >=0.4s on-device window — a single estimate is not
+    # trustworthy (host-side stalls inflate individual timed(1) calls)
+    while True:
+        timed(1 + loop)  # compile/warm this window size
+        d = float(np.median([timed(1 + loop) - timed(1) for _ in range(3)]))
+        if d >= 0.4 or loop >= 1024:
+            break
+        scale = 0.5 / max(d, 1e-3)
+        loop = min(max(int(loop * scale) + 1, loop * 2), 1024)
+    deltas = [timed(1 + loop) - timed(1) for _ in range(5)]
+    good = [x for x in deltas if x > 0.1]
+    if not good:
+        raise RuntimeError(
+            f"unstable measurement: deltas {deltas} at loop={loop}")
+    return batch * loop / float(np.median(good))
 
 
 def dispatch_throughput(graph, feed, *, calls: int = 30) -> float:

@@ -70,7 +70,9 @@ def test_ernie_tiny_int8_attention_quantized(rng):
         "segment_ids": np.zeros((2, 16), np.int32),
     }
     ref = _run(g, feed)[g.outputs[0]]
-    optimize(g, quant=QuantConfig(), calib_batches=[
+    # act-act quant is off by default (measured slower on-chip); this test
+    # exercises the capability explicitly
+    optimize(g, quant=QuantConfig(quant_act_act_matmul=True), calib_batches=[
         {"token_ids": rng.integers(0, 500, (2, 16)).astype(np.int32),
          "segment_ids": np.zeros((2, 16), np.int32)}
     ])
@@ -79,7 +81,9 @@ def test_ernie_tiny_int8_attention_quantized(rng):
                 if op.op_type == "fc" and op.attrs.get("enable_int8")]
     int8_matmuls = [op for op in g.ops
                     if op.op_type == "matmul" and op.attrs.get("enable_int8")]
-    assert len(int8_fcs) >= 12  # q/k/v/out + 2 ffn per layer + heads
+    # per layer after parallel_fc_fuse: fused-qkv + out + 2 ffn = 4 fcs
+    assert len(int8_fcs) >= 8
+    assert any(op.op_type == "split" for op in g.ops)  # qkv split present
     assert len(int8_matmuls) >= 4  # act x act QK + PV per layer
     got = _run(g, feed)[g.outputs[0]]
     # binary classifier probabilities close

@@ -111,3 +111,46 @@ def test_identity_elimination(rng):
     PassManager(["identity_elimination"]).run(g)
     assert [op.op_type for op in g.ops] == ["fc"]
     np.testing.assert_allclose(_run(g, feed)[g.outputs[0]], ref, rtol=1e-6)
+
+
+def test_parallel_fc_fuse_numeric(rng):
+    """QKV fusion: three sibling fcs on one input collapse to fc+split with
+    identical outputs (fp32), and the ERNIE int8 pipeline still runs."""
+    import jax
+    import numpy as np
+    from paddle_lite_tpu.core.executor import build_callable, stage_weights
+    from paddle_lite_tpu.core.pass_manager import PassManager
+    from paddle_lite_tpu.models import ernie_tiny
+
+    def build():
+        return ernie_tiny.build(batch=2, seq_len=8, hidden=32, n_layers=1,
+                                n_heads=2, ffn_dim=64, vocab_size=50)
+
+    feed = {"token_ids": rng.integers(0, 50, (2, 8)).astype(np.int32),
+            "segment_ids": rng.integers(0, 4, (2, 8)).astype(np.int32)}
+
+    g_ref = build()
+    PassManager(["fc_fuse"]).run(g_ref)
+    ref = build_callable(g_ref)(stage_weights(g_ref), feed)
+
+    g = build()
+    PassManager(["fc_fuse", "parallel_fc_fuse"]).run(g)
+    n_fc_ref = sum(1 for op in g_ref.ops if op.op_type == "fc")
+    n_fc = sum(1 for op in g.ops if op.op_type == "fc")
+    assert n_fc < n_fc_ref  # q/k/v merged
+    assert any(op.op_type == "split" for op in g.ops)
+    got = build_callable(g)(stage_weights(g), feed)
+    k = g.outputs[0]
+    np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                               rtol=1e-5, atol=1e-5)
+
+    # full int8 pipeline on the fused graph stays runnable + accurate-ish
+    from paddle_lite_tpu import QuantConfig
+    from paddle_lite_tpu.tools.opt import optimize
+    g8 = build()
+    optimize(g8, quant=QuantConfig(), calib_batches=[feed])
+    out8 = build_callable(g8)(stage_weights(g8), feed)
+    a = np.asarray(out8[g8.outputs[0]]).ravel()
+    b = np.asarray(ref[k]).ravel()
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99
