@@ -182,10 +182,37 @@ def apply_quantization(
     _assign_int8_regions(graph, act_scales)
 
 
+def _gate_mul_data_slot(graph: Graph, op: OpNode):
+    """If `op` is an SE-style gated multiply — elementwise_mul whose one
+    operand is a [0, 1] gate (sigmoid / hard_sigmoid output, possibly fused
+    into a conv epilogue) — return the DATA operand's slot, else None.
+    A gate <= 1 means |x*g| <= |x|, so the data operand's int8 scale remains
+    valid through the multiply and the whole op fuses into one elementwise
+    kernel (int8 in -> int8 out, no fp32 HBM round trip)."""
+    if op.op_type != "elementwise_mul":
+        return None
+
+    def is_gate(name):
+        d = graph.vars[name].def_op
+        if d is None:
+            return False
+        if d.op_type in ("sigmoid", "hard_sigmoid"):
+            return True
+        return d.attrs.get("fuse_act") in ("sigmoid", "hard_sigmoid")
+
+    x, y = op.input("X"), op.input("Y")
+    if is_gate(y) and not is_gate(x):
+        return "X"
+    if is_gate(x) and not is_gate(y):
+        return "Y"
+    return None
+
+
 def _consumers_accept_int8(graph: Graph, var_name: str, memo: dict) -> bool:
     """True iff every consumer of `var_name` consumes int8 natively: an
-    enable_int8 op's data slot, or a passthrough op whose own output is
-    int8-consumable downstream.  Graph outputs must stay fp32."""
+    enable_int8 op's data slot, a passthrough op whose own output is
+    int8-consumable downstream, or a gated multiply's data operand.
+    Graph outputs must stay fp32."""
     if var_name in memo:
         return memo[var_name]
     memo[var_name] = False  # cycle guard
@@ -211,6 +238,11 @@ def _consumers_accept_int8(graph: Graph, var_name: str, memo: dict) -> bool:
                 for out in op.output_names()
             )
             if not ok:
+                return False
+        elif _gate_mul_data_slot(graph, op) is not None:
+            # int8 acceptable only on the data operand (the eltwise impl
+            # dequantizes in-register); the gate operand must stay fp
+            if op.input(_gate_mul_data_slot(graph, op)) != var_name:
                 return False
         else:
             return False
@@ -247,6 +279,24 @@ def _assign_int8_regions(graph: Graph, act_scales: Dict[str, float]) -> None:
                     out_var.ttype = dataclasses.replace(
                         out_var.ttype, precision=Precision.INT8
                     )
+        elif (slot := _gate_mul_data_slot(graph, op)) is not None:
+            # SE gated multiply: int8 data in -> int8 out (one fused kernel)
+            in_var = graph.vars[op.input(slot)]
+            out_name = op.output_names()[0]
+            if (in_var.precision == Precision.INT8
+                    and in_var.quant is not None
+                    and _consumers_accept_int8(graph, out_name, memo)):
+                # prefer the calibrated post-gate scale (gating shrinks the
+                # range -> finer quanta); fall back to the input's scale,
+                # which stays valid because the gate is <= 1
+                scale = float(act_scales.get(out_name,
+                                             in_var.quant.scale[0]))
+                op.attrs["out_scale"] = scale
+                out_var = graph.vars[out_name]
+                out_var.quant = QuantInfo.per_tensor(scale)
+                out_var.ttype = dataclasses.replace(
+                    out_var.ttype, precision=Precision.INT8
+                )
 
 
 @register_pass("precision_cast")
