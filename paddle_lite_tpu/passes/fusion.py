@@ -212,3 +212,17 @@ def parallel_fc_fuse(graph: Graph) -> None:
                      {"Out": [o.output("Out") for o in ops]},
                      {"axis": len(lead), "sections": sections})
         graph.remove_ops(ops)
+
+
+@register_pass("fc_activation_fuse")
+def fc_activation_fuse(graph: Graph) -> None:
+    """fc + activation -> fc(fuse_act) — the fc counterpart of
+    conv_activation_fuse. With the act inside the epilogue, an int8 fc can
+    requantize straight to int8 (ffn1 -> gelu -> ffn2 chains stay int8
+    end-to-end instead of detouring through an fp32 activation pass)."""
+    for fc, act in match_chain(graph, [op_of(("fc",)), op_of(_FUSABLE_ACTS + ("tanh",))]):
+        if fc.attrs.get("fuse_act"):
+            continue
+        fc.attrs["fuse_act"] = act.op_type
+        fc.attrs["act_attrs"] = dict(act.attrs)
+        _drop_op_rewire(graph, act, fc.output("Out"), act.output("Out"))

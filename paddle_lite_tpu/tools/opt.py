@@ -26,6 +26,7 @@ FUSION_PASSES = [
     "conv_elementwise_fuse",
     "conv_activation_fuse",
     "fc_fuse",
+    "fc_activation_fuse",
     "parallel_fc_fuse",  # QKV-style sibling-GEMM merge (after fc_fuse)
 ]
 
