@@ -35,6 +35,10 @@ class ExecutionContext:
     platform: str = "tpu"  # jax.default_backend() at trace time
     interpret: bool = False  # force Pallas interpreter mode (CPU tests)
     autotune: Optional[Dict[str, Any]] = None
+    # dtype for non-int8 float regions (graph.meta["island_dtype"]): bf16
+    # halves fp-island HBM traffic; matmul/conv accumulation and the
+    # quantize/LN/softmax internals stay fp32 regardless
+    island_dtype: Optional[Any] = None
 
     def var_quant(self, name: str):
         return self.graph.vars[name].quant
@@ -65,16 +69,28 @@ def build_callable(
     trace time — the hook used by the calibration runner and the per-layer
     precision profiler (``lite/core/profile/precision_profiler.h`` analog).
     """
+    import jax.numpy as jnp
+
     order = graph.topological_order()
     plat = platform or jax.default_backend()
     interp = (plat != "tpu") if interpret is None else interpret
-    ctx = ExecutionContext(graph=graph, platform=plat, interpret=interp)
+    island = jnp.bfloat16 if graph.meta.get("island_dtype") == "bfloat16" else None
+    ctx = ExecutionContext(graph=graph, platform=plat, interpret=interp,
+                           island_dtype=island)
+
+    def to_island(a):
+        # cast fp32 values to the island dtype; XLA fuses the cast into the
+        # producing kernel, so the HBM write itself becomes 2-byte
+        if island is not None and getattr(a, "dtype", None) == jnp.float32:
+            return a.astype(island)
+        return a
 
     def run(weights: Dict[str, Any], inputs: Dict[str, Any]) -> Dict[str, Any]:
         env: Dict[str, Any] = {}
         env.update(weights)
         for name in graph.inputs:
-            env[name] = inputs[name]
+            env[name] = to_island(jnp.asarray(inputs[name])) \
+                if island is not None else inputs[name]
             if capture is not None:
                 capture(name, env[name])
         for op in order:
@@ -82,16 +98,32 @@ def build_callable(
             outs = impl(ctx, op, _resolve_inputs(op, env))
             for slot, arrs in outs.items():
                 for n, a in zip(op.outputs.get(slot, []), arrs):
-                    env[n] = a
+                    env[n] = to_island(a)
                     if capture is not None:
-                        capture(n, a)
-        return {n: env[n] for n in graph.outputs}
+                        capture(n, env[n])
+        out = {n: env[n] for n in graph.outputs}
+        if island is not None:  # public contract stays fp32
+            out = {n: (v.astype(jnp.float32) if v.dtype == island else v)
+                   for n, v in out.items()}
+        return out
 
     return run
 
 
 def stage_weights(graph: Graph) -> Dict[str, Any]:
-    """Weights as a jit-ready pytree (host numpy; jit stages to device)."""
+    """Weights as a jit-ready pytree (host numpy; jit stages to device).
+
+    With island_dtype set, fp32 weights are stored bf16 (int8 weights and
+    the fp32 quant scales are untouched) — halves weight HBM footprint for
+    the fp regions and keeps conv/matmul operand dtypes consistent."""
+    if graph.meta.get("island_dtype") == "bfloat16":
+        import jax.numpy as jnp
+
+        return {
+            k: (np.asarray(v).astype(jnp.bfloat16)
+                if np.asarray(v).dtype == np.float32 else np.asarray(v))
+            for k, v in graph.weights.items()
+        }
     return {k: np.asarray(v) for k, v in graph.weights.items()}
 
 

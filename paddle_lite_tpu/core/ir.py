@@ -101,6 +101,9 @@ class Graph:
         self.inputs: List[str] = []
         self.outputs: List[str] = []
         self.weights: Dict[str, np.ndarray] = {}
+        # graph-level execution metadata (e.g. "island_dtype": "bfloat16" —
+        # run non-int8 float regions in bf16; persisted in the artifact)
+        self.meta: Dict[str, Any] = {}
         self._next_op_id = 0
         self._uniq = 0
 

@@ -43,6 +43,7 @@ def graph_to_meta(graph: Graph) -> dict:
     return {
         "format_version": FORMAT_VERSION,
         "name": graph.name,
+        "meta": dict(graph.meta),
         "inputs": graph.inputs,
         "outputs": graph.outputs,
         "vars": {
@@ -131,6 +132,7 @@ def graph_from_meta(meta: dict) -> Graph:
         g.add_op(oj["type"], oj["inputs"], oj["outputs"], _attrs_from_json(oj["attrs"]))
     g.inputs = list(meta["inputs"])
     g.outputs = list(meta["outputs"])
+    g.meta = dict(meta.get("meta", {}))
     return g
 
 

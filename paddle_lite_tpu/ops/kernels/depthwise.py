@@ -87,6 +87,8 @@ def _dw3x3s1_impl(x, w9, eff_scale, bias, *, act, act_attrs_tuple,
                   out_scale, interpret):
     n, h, wdt, c = x.shape
     act_attrs = dict(act_attrs_tuple) if act_attrs_tuple else None
+    if bias is not None:
+        bias = bias.astype(jnp.float32)  # bf16-island weights arrive bf16
     cp = -c % _BC
     if cp:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp)))

@@ -149,6 +149,9 @@ def conv2d_transpose_xla(ctx, op, ins):
     if w.dtype == jnp.int8:
         wq = ctx.var_quant(op.input("Filter"))
         w = dequantize(w, wq.scale_array(), axis=wq.axis if wq.axis is not None else None)
+    if x.dtype != w.dtype:  # bf16-island operand meets a dequantized fp32 one
+        common = jnp.promote_types(x.dtype, w.dtype)
+        x, w = x.astype(common), w.astype(common)
     # gradient-style transposed conv: lhs_dilation = stride
     kh, kw = w.shape[0], w.shape[1]
     pad_h = (dh * (kh - 1) - ph0, dh * (kh - 1) - ph1 + oph)

@@ -51,6 +51,13 @@ class QuantConfig:
     # throughput. True keeps them int8 (saves HBM traffic in dw-heavy
     # MobileNets); set False for large-spatial dw trunks if measured slower.
     quant_depthwise: bool = True
+    # dtype for the non-int8 float regions ("float32" | "bfloat16"): bf16
+    # halves fp-island HBM traffic (softmax/layer_norm/SE/detection heads);
+    # island internals that need fp32 (LN stats, softmax, quant rounding,
+    # matmul accumulation) stay fp32. The reference has no analog — mobile
+    # CPUs had no fast 16-bit float path at its vintage; on TPU bf16 is the
+    # native fp format.
+    island_dtype: str = "float32"
     skip_ops: Sequence[str] = ()  # op output-var names to keep fp32
     observer_kwargs: Optional[dict] = None
     bins: int = 2048

@@ -81,4 +81,7 @@ def optimize(
             # validated end-to-end on the target chip — see dw_pw_fused.py)
             PassManager(["dw_pw_fuse"]).run(graph, verbose=verbose)
     PassManager(FINALIZE_PASSES).run(graph, verbose=verbose)
+    if quant is not None and quant.island_dtype != "float32":
+        # stamped AFTER calibration so stats are collected in fp32
+        graph.meta["island_dtype"] = quant.island_dtype
     return graph

@@ -133,3 +133,41 @@ def test_entropy_observer_reasonable():
     obs.update_histogram(hist, amax)
     s = obs.scale()
     assert s * 127.0 < 20.0, "entropy calibration should clip the outliers"
+
+
+def test_bf16_island_dtype(rng):
+    """island_dtype='bfloat16': fp regions run bf16, public I/O stays fp32,
+    accuracy within int8 tolerance, artifact round-trips the meta flag."""
+    import jax.numpy as jnp
+
+    from paddle_lite_tpu import QuantConfig
+    from paddle_lite_tpu.core.executor import build_callable, stage_weights
+    from paddle_lite_tpu.models import ernie_tiny
+    from paddle_lite_tpu.tools.opt import optimize
+
+    def build():
+        return ernie_tiny.build(batch=2, seq_len=8, hidden=32, n_layers=1,
+                                n_heads=2, ffn_dim=64, vocab_size=50)
+
+    feed = {"token_ids": rng.integers(0, 50, (2, 8)).astype(np.int32),
+            "segment_ids": rng.integers(0, 4, (2, 8)).astype(np.int32)}
+    g32 = build()
+    ref = build_callable(g32)(stage_weights(g32), feed)
+
+    g = build()
+    optimize(g, quant=QuantConfig(island_dtype="bfloat16"),
+             calib_batches=[feed])
+    assert g.meta["island_dtype"] == "bfloat16"
+    w = stage_weights(g)
+    assert any(np.asarray(v).dtype == jnp.bfloat16 for v in w.values())
+    got = build_callable(g)(w, feed)
+    k = g.outputs[0]
+    out = np.asarray(got[k])
+    assert out.dtype == np.float32  # public contract
+    a, b = out.ravel(), np.asarray(ref[k]).ravel()
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.995
+
+    from paddle_lite_tpu.formats.artifact import graph_from_meta, graph_to_meta
+    g2 = graph_from_meta(graph_to_meta(g))
+    assert g2.meta["island_dtype"] == "bfloat16"
