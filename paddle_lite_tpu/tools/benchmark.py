@@ -114,7 +114,8 @@ def dispatch_throughput(graph, feed, *, calls: int = 30) -> float:
 
 def bench_model(model: str, *, batch: int, image_size: int = 224,
                 int8: bool = True, with_fp32: bool = False,
-                seq_len: int = 128, method: str = "loop") -> dict:
+                seq_len: int = 128, method: str = "loop",
+                island_dtype: str = "float32") -> dict:
     from .. import QuantConfig
     from .opt import optimize
 
@@ -146,7 +147,8 @@ def bench_model(model: str, *, batch: int, image_size: int = 224,
     if int8:
         g8 = build()
         feed = make_feed(g8)
-        optimize(g8, quant=QuantConfig(), calib_batches=[feed])
+        optimize(g8, quant=QuantConfig(island_dtype=island_dtype),
+                 calib_batches=[feed])
         result["int8_items_per_sec"] = round(measure(g8, feed), 1)
         if with_fp32:
             result["speedup"] = round(
@@ -167,10 +169,13 @@ def main() -> None:
     p.add_argument("--seq-len", type=int, default=128)
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--method", default="loop", choices=["loop", "dispatch"])
+    p.add_argument("--island-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
     print(json.dumps(bench_model(
         args.model, batch=args.batch, image_size=args.image_size,
-        with_fp32=args.fp32, seq_len=args.seq_len, method=args.method)))
+        with_fp32=args.fp32, seq_len=args.seq_len, method=args.method,
+        island_dtype=args.island_dtype)))
 
 
 if __name__ == "__main__":

@@ -34,7 +34,8 @@ def cmd_compile(args) -> None:
     quant = None
     calib = None
     if args.int8:
-        quant = QuantConfig(method=CalibMethod(args.calib_method))
+        quant = QuantConfig(method=CalibMethod(args.calib_method),
+                            island_dtype=args.island_dtype)
         rng = np.random.default_rng(0)
         shape = tuple(g.vars[g.inputs[0]].shape)
         calib = [
@@ -125,6 +126,8 @@ def main(argv=None) -> None:
     c.add_argument("--batch", type=int, default=1)
     c.add_argument("--image-size", type=int, default=224)
     c.add_argument("--int8", action="store_true")
+    c.add_argument("--island-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     c.add_argument("--calib-method", default="abs_max",
                    choices=["abs_max", "moving_average_abs_max", "percentile", "entropy"])
     c.add_argument("--calib-batches", type=int, default=4)
