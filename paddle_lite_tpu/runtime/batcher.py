@@ -28,7 +28,11 @@ import numpy as np
 
 @dataclasses.dataclass
 class BatcherConfig:
-    buckets: Sequence[int] = (1, 2, 4, 8, 16, 32)
+    # int8's advantage needs compute-bound batches (measured: MobileNetV1
+    # int8 LOSES to fp32 at b8 but wins 2x at b64 — BASELINE.md batch-size
+    # note), so the bucket ladder reaches 64 and the batcher prefers the
+    # largest fillable bucket
+    buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64)
     max_wait_ms: float = 2.0  # linger before dispatching a partial batch
     max_queue: int = 1024
 
