@@ -109,7 +109,11 @@ def build(batch: int = 1, image_size: int = 300, num_classes: int = 21,
         "multiclass_nms",
         {"BBoxes": [decoded], "Scores": [scores]},
         attrs={"background_label": 0, "score_threshold": 0.01,
-               "nms_top_k": 400, "nms_threshold": 0.45, "keep_top_k": 100},
+               "nms_top_k": 400, "nms_threshold": 0.45, "keep_top_k": 100,
+               # approx candidate top-k: the exact top_k lowers to a full
+               # 8732-element sort per (image, class); recall-0.95 bucketed
+               # selection leaves detections unchanged in practice
+               "approx_top_k": True},
         shape_args=[decoded, scores],
     )[0]
     b.mark_output(out)
