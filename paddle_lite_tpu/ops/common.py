@@ -177,3 +177,37 @@ def normalize_paddings(paddings) -> Tuple[Tuple[int, int], Tuple[int, int]]:
 def conv_out_size(in_size: int, k: int, stride: int, pad: Tuple[int, int], dilation: int) -> int:
     eff_k = dilation * (k - 1) + 1
     return (in_size + pad[0] + pad[1] - eff_k) // stride + 1
+
+
+def maybe_dequant_mixed(ctx, a, a_name, b, b_name):
+    """Mixed-precision operand repair for matmul-family ops.
+
+    If exactly one operand is a quantized integer tensor — the weight-only
+    storage mode (int8/int16 weights, fp32 activations; ``SaveModelNaive``'s
+    quantize-on-save analog) or a partially-scaled QAT import — inline-
+    dequantize it; XLA fuses the convert+scale into the consumer, so the
+    HBM copy of the weight stays narrow. Both-int8 (the PTQ fast path) and
+    both-float operands pass through untouched."""
+    import jax.numpy as jnp
+
+    int_types = (jnp.int8, jnp.int16)
+
+    def deq(v, name):
+        q = ctx.var_quant(name)
+        if q is None:
+            return v.astype(jnp.float32)
+        return dequantize(v, q.scale_array() if q.per_channel else q.scale[0],
+                          axis=q.axis)
+
+    a_int = a.dtype in int_types
+    b_int = b.dtype in int_types
+    if a_int == b_int and a.dtype != jnp.int16 and b.dtype != jnp.int16:
+        return a, b  # both-int8 or both-float: native paths handle these
+    if a_int:
+        a = deq(a, a_name)
+    if b_int:
+        b = deq(b, b_name)
+    if a.dtype != b.dtype:
+        common = jnp.promote_types(a.dtype, b.dtype)
+        a, b = a.astype(common), b.astype(common)
+    return a, b

@@ -429,3 +429,25 @@ def norm_xla(ctx, op, ins):
     eps = op.attrs.get("epsilon", 1e-10)
     n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True) + eps)
     return {"Out": [x / n]}
+
+
+@OPS.shape_fn("space_to_depth")
+def space_to_depth_shape(attrs, in_shapes):
+    n, h, w, c = in_shapes[0]
+    bh, bw = attrs.get("blocks", (2, 2))
+    return [(n, h // bh, w // bw, c * bh * bw)]
+
+
+@OPS.kernel("space_to_depth", "xla")
+def space_to_depth_xla(ctx, op, ins):
+    """NHWC space-to-depth; output channel index = (bh, bw, c) flattened.
+    Used by the stem_space_to_depth pass (passes/fusion.py) to turn the
+    MXU-hostile 3-channel stem conv into a dense-K conv; scale-preserving
+    (pure data movement), so it participates in int8 passthrough chains."""
+    x = ins["X"][0]
+    bh, bw = op.attrs.get("blocks", (2, 2))
+    n, h, w, c = x.shape
+    y = (x.reshape(n, h // bh, bh, w // bw, bw, c)
+          .transpose(0, 1, 3, 2, 4, 5)
+          .reshape(n, h // bh, w // bw, bh * bw * c))
+    return {"Out": [y]}

@@ -30,6 +30,7 @@ from .common import (
     apply_activation,
     conv_out_size,
     dequantize,
+    maybe_dequant_mixed,
     normalize_2d,
     normalize_paddings,
     quantize,
@@ -61,11 +62,15 @@ def dw_conv2d_shape(attrs, in_shapes):
     return _conv_shape(attrs, in_shapes)
 
 
-def _conv_epilogue(ctx, op, acc, x_name, w_name, bias, residual, residual_name):
-    """Shared conv/fc epilogue handling both fp32 and int8 accumulators."""
+def _conv_epilogue(ctx, op, acc, x_name, w_name, bias, residual, residual_name,
+                   int8_acc: bool = False):
+    """Shared conv/fc epilogue handling both fp32 and int8 accumulators.
+    ``int8_acc`` marks a float-typed accumulator that nevertheless holds
+    exact int8×int8 products (the bf16-compute depthwise path) and needs
+    the int8 scale treatment."""
     attrs = op.attrs
     act = attrs.get("fuse_act")
-    if acc.dtype == jnp.int32:
+    if acc.dtype == jnp.int32 or int8_acc:
         xq = ctx.var_quant(x_name)
         wq = ctx.var_quant(w_name)
         eff = np.float32(xq.scale[0]) * wq.scale_array()  # per-out-channel
@@ -101,7 +106,17 @@ def conv2d_xla(ctx, op, ins):
     if op.op_type == "depthwise_conv2d":
         groups = x.shape[-1]
 
+    x, w = maybe_dequant_mixed(ctx, x, op.input("Input"), w, op.input("Filter"))
     int8_path = x.dtype == jnp.int8 and w.dtype == jnp.int8
+    # Depthwise int8 runs on the VPU (no MXU help) where int32 multiplies
+    # are slower than float FMAs. dw_compute="bf16" keeps the int8 HBM
+    # edges but computes in bf16: int8 values are exact in bf16 and
+    # bf16×bf16→fp32 products/sums of a ≤7×7 window stay < 2^24, so the
+    # accumulator is bit-identical to the int32 path.
+    dw_bf16 = (int8_path and groups == x.shape[-1]
+               and op.attrs.get("dw_compute") == "bf16")
+    if dw_bf16:
+        x, w = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
     acc = jax.lax.conv_general_dilated(
         x,
         w,
@@ -110,13 +125,15 @@ def conv2d_xla(ctx, op, ins):
         rhs_dilation=dilations,
         dimension_numbers=CONV_DN,
         feature_group_count=groups,
-        preferred_element_type=jnp.int32 if int8_path else jnp.float32,
+        preferred_element_type=jnp.int32 if (int8_path and not dw_bf16)
+        else jnp.float32,
     )
     y = _conv_epilogue(
         ctx, op, acc,
         op.input("Input"), op.input("Filter"),
         bias, residual,
         op.maybe_input("ResidualData"),
+        int8_acc=dw_bf16,
     )
     return {"Output": [y]}
 
@@ -194,6 +211,7 @@ def fc_xla(ctx, op, ins):
     in_num_col_dims = int(attrs.get("in_num_col_dims", x.ndim - 1))
     lead = x.shape[:in_num_col_dims]
     x2 = x.reshape((-1, int(np.prod(x.shape[in_num_col_dims:]))))
+    x2, w = maybe_dequant_mixed(ctx, x2, op.input("Input"), w, op.input("W"))
     int8_path = x2.dtype == jnp.int8 and w.dtype == jnp.int8
     acc = jnp.dot(
         x2, w, preferred_element_type=jnp.int32 if int8_path else jnp.float32
@@ -221,6 +239,7 @@ def mul_xla(ctx, op, ins):
     tail = w.shape[yd:]
     x2 = x.reshape((int(np.prod(lead) if lead else 1), -1))
     w2 = w.reshape((-1, int(np.prod(tail) if tail else 1)))
+    x2, w2 = maybe_dequant_mixed(ctx, x2, op.input("X"), w2, op.input("Y"))
     int8_path = x2.dtype == jnp.int8 and w2.dtype == jnp.int8
     acc = jnp.dot(
         x2, w2, preferred_element_type=jnp.int32 if int8_path else jnp.float32
@@ -246,6 +265,8 @@ def matmul_shape(attrs, in_shapes):
 def matmul_xla(ctx, op, ins):
     x, y = ins["X"][0], ins["Y"][0]
     attrs = op.attrs
+    # dequant before any transpose so per-channel axes match storage layout
+    x, y = maybe_dequant_mixed(ctx, x, op.input("X"), y, op.input("Y"))
     if attrs.get("transpose_X"):
         x = jnp.swapaxes(x, -1, -2)
     if attrs.get("transpose_Y"):

@@ -226,3 +226,92 @@ def fc_activation_fuse(graph: Graph) -> None:
         fc.attrs["fuse_act"] = act.op_type
         fc.attrs["act_attrs"] = dict(act.attrs)
         _drop_op_rewire(graph, act, fc.output("Out"), act.output("Out"))
+
+
+@register_pass("stem_space_to_depth")
+def stem_space_to_depth(graph: Graph) -> None:
+    """Rewrite the MXU-hostile stem conv (few input channels, stride 2) as
+    space-to-depth + a dense stride-1 conv.
+
+    A k×k/s2 conv over C_in≤4 channels has a contraction depth of only
+    k·k·C_in (27 for a 3×3 RGB stem — 21% of one MXU column at best; measured
+    0.60 ms of MobileNetV3's 1.89 ms total at b64).  Space-to-depth with
+    block 2 folds each 2×2 pixel block into channels: the conv becomes
+    ⌈(k+1)/2⌉² × 4·C_in deep and stride 1 — 48-deep for 3×3 stems, 192 for
+    ResNet's 7×7 — and the stride-2 subsampling becomes the s2d itself.
+    No reference analog (the trick is TPU/systolic-specific); standard
+    practice in public TPU CNN implementations.
+
+    Exact rewrite (same math, reassociated): for output y,x and semantic
+    tap dh∈[0,k): input row 2y+dh−p = 2(y+dh′)+bh with bh=(dh−p) mod 2,
+    dh′=(dh−p−bh)/2, so tap (dh,dw,c) lands at new-kernel position
+    (dh′−dh′_min, dw′−dw′_min) and channel (bh·2+bw)·C_in+c; the new conv
+    pads (−dh′_min, dh′_max).
+    """
+    for conv in list(graph.ops):
+        if conv.op_type != "conv2d":
+            continue
+        x_name = conv.input("Input")
+        x_var = graph.vars[x_name]
+        if x_var.def_op is not None or x_var.is_weight:
+            continue  # only graph-input stems
+        if len(x_var.shape) != 4:
+            continue
+        n, h, wdt, c_in = x_var.shape
+        if c_in > 4 or h % 2 or wdt % 2:
+            continue
+        strides = conv.attrs.get("strides", [1, 1])
+        if list(strides) != [2, 2]:
+            continue
+        if list(conv.attrs.get("dilations", [1, 1])) != [1, 1]:
+            continue
+        if int(conv.attrs.get("groups", 1)) != 1:
+            continue
+        w_name = conv.input("Filter")
+        w = graph.weights[w_name]
+        if w.dtype != np.float32:
+            continue  # run before weight quantization
+        kh, kw, _, oc = w.shape
+        pads = conv.attrs.get("paddings", [0, 0])
+        if len(pads) == 2:
+            ph0 = ph1 = int(pads[0])
+            pw0 = pw1 = int(pads[1])
+        else:
+            ph0, ph1, pw0, pw1 = (int(p) for p in pads)
+        if ph0 != ph1 or pw0 != pw1:
+            continue  # keep it simple: symmetric-padding stems only
+
+        def tap(d, p):
+            v = d - p
+            b = v % 2
+            return (v - b) // 2, b
+
+        hps = [tap(d, ph0) for d in range(kh)]
+        wps = [tap(d, pw0) for d in range(kw)]
+        hmin, hmax = min(t[0] for t in hps), max(t[0] for t in hps)
+        wmin, wmax = min(t[0] for t in wps), max(t[0] for t in wps)
+        k2h, k2w = hmax - hmin + 1, wmax - wmin + 1
+        # right pads sized so the output count matches the original exactly
+        # (floor-division may drop a partial window; can go negative = crop)
+        out_h = (h + 2 * ph0 - kh) // 2 + 1
+        out_w = (wdt + 2 * pw0 - kw) // 2 + 1
+        pad_h1 = out_h - 1 + hmax - (h // 2 - 1)
+        pad_w1 = out_w - 1 + wmax - (wdt // 2 - 1)
+        w2 = np.zeros((k2h, k2w, 4 * c_in, oc), np.float32)
+        for dh in range(kh):
+            dhp, bh = hps[dh]
+            for dw in range(kw):
+                dwp, bw = wps[dw]
+                ch = (bh * 2 + bw) * c_in
+                w2[dhp - hmin, dwp - wmin, ch:ch + c_in, :] = w[dh, dw, :, :]
+
+        s2d_out = graph.unique_name(x_name + ".s2d")
+        graph.add_var(s2d_out, (n, h // 2, wdt // 2, 4 * c_in))
+        graph.add_op("space_to_depth", {"X": [x_name]}, {"Out": [s2d_out]},
+                     {"blocks": [2, 2]})
+        graph.weights[w_name] = w2
+        graph.vars[w_name].shape = w2.shape
+        conv.inputs["Input"] = [s2d_out]
+        conv.attrs["strides"] = [1, 1]
+        conv.attrs["paddings"] = [-hmin, pad_h1, -wmin, pad_w1]
+        graph.rebuild_links()

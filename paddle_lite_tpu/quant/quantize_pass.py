@@ -30,7 +30,8 @@ import numpy as np
 from ..core.ir import Graph, OpNode
 from ..core.pass_manager import register_pass
 from ..core.types import CalibMethod, Precision, QuantInfo
-from .calibrate import CalibrationResult, PASSTHROUGH_OPS, QUANTIZABLE_OPS
+from .calibrate import (CalibrationResult, PASSTHROUGH_OPS, QUANTIZABLE_OPS,
+                        TRANSPARENT_OPS)
 
 
 @dataclasses.dataclass
@@ -51,6 +52,11 @@ class QuantConfig:
     # throughput. True keeps them int8 (saves HBM traffic in dw-heavy
     # MobileNets); set False for large-spatial dw trunks if measured slower.
     quant_depthwise: bool = True
+    # Compute dtype for int8 depthwise ("int32" | "bf16"): bf16 keeps the
+    # int8 HBM edges but runs the VPU window multiply in bf16 (int8 values
+    # are exact in bf16; ≤7×7 windows accumulate < 2^24 so the result is
+    # bit-identical). See ops/nn.py conv2d_xla.
+    depthwise_compute: str = "int32"
     # dtype for the non-int8 float regions ("float32" | "bfloat16"): bf16
     # halves fp-island HBM traffic (softmax/layer_norm/SE/detection heads);
     # island internals that need fp32 (LN stats, softmax, quant rounding,
@@ -65,6 +71,11 @@ class QuantConfig:
     # systematic (per-TENSOR weights, sub-8-bit); measured neutral-to-noisy
     # with per-channel int8 weights, hence default off.
     bias_correction: bool = False
+    # Weight-only storage quantization (8 or 16): calibration-free; weights
+    # stored int8/int16 + per-channel scales, inline-dequantized at run.
+    # The SaveModelNaive quantize-on-save analog. Mutually exclusive with
+    # the PTQ activation path (no calib_batches needed when set).
+    weight_only: Optional[int] = None
 
 
 _WEIGHT_AXIS = {  # per-channel axis = output-channel axis of the weight
@@ -133,6 +144,34 @@ def _is_quantizable(graph: Graph, op: OpNode, config: QuantConfig) -> bool:
     return op.op_type == "matmul" and config.quant_act_act_matmul
 
 
+def _propagate_scale(graph: Graph, name: str,
+                     act_scales: Dict[str, float]) -> Optional[float]:
+    """Scale for `name`, walking up through scale-preserving ops.
+
+    QAT imports record scales on the fluid-named vars; layout casts the
+    converter inserted (transpose to NHWC) sit between those names and the
+    quantizable op's actual inputs. Transparent ops preserve the scale
+    exactly, so propagate it down (memoized into act_scales)."""
+    if name in act_scales:
+        return act_scales[name]
+    seen = set()
+    chain = [name]
+    cur = name
+    while cur not in act_scales:
+        if cur in seen:
+            return None
+        seen.add(cur)
+        d = graph.vars[cur].def_op
+        if d is None or d.op_type not in TRANSPARENT_OPS:
+            return None
+        cur = d.input_names()[0]
+        chain.append(cur)
+    s = act_scales[cur]
+    for n in chain:
+        act_scales[n] = s
+    return s
+
+
 def apply_quantization(
     graph: Graph,
     act_scales: Dict[str, float],
@@ -173,7 +212,7 @@ def apply_quantization(
             n = op.maybe_input(slot)
             if n is None or graph.vars[n].is_weight:
                 continue
-            if n not in act_scales:
+            if _propagate_scale(graph, n, act_scales) is None:
                 missing = True
                 continue
             if graph.vars[n].quant is None:
@@ -184,6 +223,8 @@ def apply_quantization(
             if n in act_scales and graph.vars[n].quant is None:
                 graph.vars[n].quant = QuantInfo.per_tensor(act_scales[n])
         op.attrs["enable_int8"] = True
+        if op.op_type == "depthwise_conv2d":
+            op.attrs["dw_compute"] = config.depthwise_compute
         int8_ops.append(op)
 
     _assign_int8_regions(graph, act_scales)
@@ -345,6 +386,7 @@ def quant_dequant_fuse(graph: Graph) -> None:
         "fake_quantize_range_abs_max",
         "fake_quantize_moving_average_abs_max",
         "fake_quantize_dequantize_moving_average_abs_max",
+        "fake_quantize_dequantize_abs_max",
     )
     FAKE_DQ = ("fake_dequantize_max_abs", "fake_channel_wise_dequantize_max_abs")
 
@@ -352,20 +394,46 @@ def quant_dequant_fuse(graph: Graph) -> None:
     weight_scales: Dict[str, np.ndarray] = {}
     dead: List[OpNode] = []
 
+    def _weight_absmax_channels(x: str, w_arr: np.ndarray):
+        """(axis, channels) of a quantizable consumer's weight slot."""
+        consumer = next(
+            (c for c in graph.vars[x].use_ops
+             if c.op_type in _WEIGHT_SLOTS
+             and c.maybe_input(_WEIGHT_SLOTS[c.op_type]) == x),
+            None)
+        axis = (_WEIGHT_AXIS[consumer.op_type] if consumer is not None
+                else -1) % w_arr.ndim
+        return axis, w_arr.shape[axis]
+
     for op in list(graph.ops):
         if op.op_type in FAKE_Q:
             x = op.input("X")
             out = op.output("Out")
-            # scale recorded as attr or as an InScale weight (range variant)
+            # scale recorded as attr or as an InScale weight (range variant);
+            # paddle stores the abs-max *threshold* (scale*127)
             if "scale" in op.attrs:
                 s = float(op.attrs["scale"]) / 127.0
             elif op.maybe_input("InScale"):
-                s = float(np.asarray(graph.weights[op.input("InScale")]).reshape(-1)[0]) / 127.0
+                s = float(np.asarray(
+                    graph.weights[op.input("InScale")]).reshape(-1)[0]) / 127.0
             else:
                 s = None
+            if s is not None and s <= 0.0:
+                s = None  # a 0.0 threshold is a training artifact, not a scale
             v = graph.vars[x]
             if v.is_weight:
-                weight_scales[x] = np.asarray([s * 127.0]) if s else None
+                w_arr = graph.weights[x]
+                axis, ch = _weight_absmax_channels(x, w_arr)
+                if s is not None:
+                    # per-tensor recorded scale: expand to the channel width
+                    # the per-channel rewrite expects
+                    weight_scales[x] = np.full(ch, s * 127.0, np.float32)
+                else:
+                    # missing/zero recorded scale: repair from the weight
+                    # itself (the weight_quantization_preprocess_pass role)
+                    red = tuple(i for i in range(w_arr.ndim) if i != axis)
+                    weight_scales[x] = np.maximum(
+                        np.abs(w_arr).max(axis=red), 1e-10).astype(np.float32)
             elif s is not None:
                 act_scales[x] = s
                 act_scales[out] = s
@@ -375,12 +443,25 @@ def quant_dequant_fuse(graph: Graph) -> None:
             x = op.input("X")
             out = op.output("Out")
             if op.maybe_input("Scales"):
-                sc = np.asarray(graph.weights[op.input("Scales")], np.float32)
+                sc = np.asarray(graph.weights[op.input("Scales")],
+                                np.float32).reshape(-1)
                 producer = graph.vars[x].def_op
                 if producer is not None:
                     w_slot = _WEIGHT_SLOTS.get(producer.op_type)
                     if w_slot and producer.maybe_input(w_slot):
-                        weight_scales[producer.input(w_slot)] = sc.reshape(-1)
+                        w_name = producer.input(w_slot)
+                        if np.any(sc <= 0):
+                            # repair zero/negative recorded thresholds from
+                            # the weight itself (per-channel abs-max)
+                            w_arr = graph.weights[w_name]
+                            axis = _WEIGHT_AXIS[producer.op_type] % w_arr.ndim
+                            red = tuple(i for i in range(w_arr.ndim)
+                                        if i != axis)
+                            repair = np.maximum(
+                                np.abs(w_arr).max(axis=red), 1e-10)
+                            sc = np.where(sc > 0, sc,
+                                          repair.astype(np.float32))
+                        weight_scales[w_name] = sc
             if "max_range" in op.attrs:
                 producer = graph.vars[x].def_op
                 if producer is not None:
@@ -407,3 +488,49 @@ def ptq_quantize(
 ) -> None:
     """PTQ entry: apply quantization with calibrated activation scales."""
     apply_quantization(graph, calib.scales, config=config)
+
+
+def weight_only_quantize(graph: Graph, bits: int = 8) -> int:
+    """Calibration-free weight-only quantization (``SaveModelNaive``'s
+    quantize-on-save, lite/model_parser/model_parser.cc + the
+    weight_quantization_preprocess pass).
+
+    Stores conv/fc/mul/matmul weights as int8 (bits=8) or int16 (bits=16)
+    with per-output-channel scales; activations stay float and the op impls
+    inline-dequantize the weight (``ops/common.maybe_dequant_mixed``), so
+    the fused program reads the narrow weight from HBM and converts in
+    registers. No ``enable_int8`` marking — this is a storage/bandwidth
+    mode, not the int8 MXU path. Returns the number of weights quantized.
+    """
+    if bits not in (8, 16):
+        raise ValueError(f"weight_only bits must be 8 or 16, got {bits}")
+    qmax = float(2 ** (bits - 1) - 1)
+    dtype = np.int8 if bits == 8 else np.int16
+    prec = Precision.INT8 if bits == 8 else Precision.INT16
+    n = 0
+    for op in graph.ops:
+        w_slot = _WEIGHT_SLOTS.get(op.op_type)
+        if w_slot is None:
+            continue
+        w_name = op.maybe_input(w_slot)
+        if w_name is None:
+            continue
+        w_var = graph.vars[w_name]
+        if not w_var.is_weight or w_var.quant is not None:
+            continue
+        w = graph.weights[w_name]
+        if w.dtype != np.float32:
+            continue
+        axis = _WEIGHT_AXIS[op.op_type] % w.ndim
+        red = tuple(i for i in range(w.ndim) if i != axis)
+        amax = np.maximum(np.abs(w).max(axis=red), 1e-10).astype(np.float32)
+        scale = amax / qmax
+        shape = [1] * w.ndim
+        shape[axis] = -1
+        q = np.clip(np.round(w / scale.reshape(shape)), -qmax, qmax).astype(dtype)
+        graph.weights[w_name] = q
+        w_var.ttype = dataclasses.replace(w_var.ttype, precision=prec)
+        w_var.quant = QuantInfo(scale=tuple(float(s) for s in scale),
+                                axis=axis, bits=bits)
+        n += 1
+    return n

@@ -115,7 +115,8 @@ def dispatch_throughput(graph, feed, *, calls: int = 30) -> float:
 def bench_model(model: str, *, batch: int, image_size: int = 224,
                 int8: bool = True, with_fp32: bool = False,
                 seq_len: int = 128, method: str = "loop",
-                island_dtype: str = "float32") -> dict:
+                island_dtype: str = "float32",
+                dw_compute: str = "int32") -> dict:
     from .. import QuantConfig
     from .opt import optimize
 
@@ -141,13 +142,17 @@ def bench_model(model: str, *, batch: int, image_size: int = 224,
     measure = device_throughput if method == "loop" else dispatch_throughput
     result = {"model": model, "batch": batch, "method": method}
     if with_fp32:
-        g32 = build()
+        # fp32 baseline goes through the same fusion pipeline (conv_bn fold,
+        # stem s2d, act fusion) — both precisions get the optimizer, only
+        # quantization differs
+        g32 = optimize(build())
         result["fp32_items_per_sec"] = round(
             measure(g32, make_feed(g32)), 1)
     if int8:
         g8 = build()
         feed = make_feed(g8)
-        optimize(g8, quant=QuantConfig(island_dtype=island_dtype),
+        optimize(g8, quant=QuantConfig(island_dtype=island_dtype,
+                                       depthwise_compute=dw_compute),
                  calib_batches=[feed])
         result["int8_items_per_sec"] = round(measure(g8, feed), 1)
         if with_fp32:
@@ -171,11 +176,13 @@ def main() -> None:
     p.add_argument("--method", default="loop", choices=["loop", "dispatch"])
     p.add_argument("--island-dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--dw-compute", default="int32",
+                   choices=["int32", "bf16"])
     args = p.parse_args()
     print(json.dumps(bench_model(
         args.model, batch=args.batch, image_size=args.image_size,
         with_fp32=args.fp32, seq_len=args.seq_len, method=args.method,
-        island_dtype=args.island_dtype)))
+        island_dtype=args.island_dtype, dw_compute=args.dw_compute)))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ FUSION_PASSES = [
     "fc_fuse",
     "fc_activation_fuse",
     "parallel_fc_fuse",  # QKV-style sibling-GEMM merge (after fc_fuse)
+    "stem_space_to_depth",  # after conv_bn_fuse: rewrites the folded weights
 ]
 
 FINALIZE_PASSES = [
@@ -53,6 +54,14 @@ def optimize(
     picking and cast insertion, lite/core/optimizer.h).
     """
     PassManager(FUSION_PASSES).run(graph, verbose=verbose)
+    if quant is not None and quant.weight_only:
+        from ..quant.quantize_pass import weight_only_quantize
+
+        weight_only_quantize(graph, bits=quant.weight_only)
+        PassManager(FINALIZE_PASSES).run(graph, verbose=verbose)
+        if quant.island_dtype != "float32":
+            graph.meta["island_dtype"] = quant.island_dtype
+        return graph
     if quant is not None:
         if calib_result is None:
             if calib_batches is None:

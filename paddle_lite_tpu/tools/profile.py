@@ -112,10 +112,23 @@ def print_precision_report(fp32_graph, int8_graph, feed, top=None) -> None:
 
 
 def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
-                   *, iters: int = 8) -> List[dict]:
-    """Per-op cost via prefix differencing (see module docstring)."""
-    import copy
-    import functools
+                   *, min_window: float = 0.3, reps: int = 3,
+                   ks: Optional[List[int]] = None,
+                   progress=None) -> List[dict]:
+    """Per-op cost via prefix differencing (see module docstring).
+
+    Each prefix is timed with the hardened iteration-delta method (the same
+    one ``tools/benchmark.device_throughput`` uses — see BASELINE.md note):
+    the prefix runs inside one jitted ``fori_loop`` whose inputs are made
+    loop-variant by a runtime-zero bump (so XLA cannot hoist the body), with
+    a *dynamic* trip count (one compile per prefix, not per window size),
+    auto-scaled until the window delta is ``min_window`` seconds (dwarfing
+    the ~28ms async-tunnel RTT jitter), median of ``reps``.
+
+    ``ks``: optional list of prefix lengths (1-based, ascending) to measure —
+    e.g. block boundaries — when per-op granularity is too slow; each row
+    then attributes the cost of ops (ks[i-1], ks[i]].
+    """
     import time
 
     import jax
@@ -128,8 +141,11 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
     from ..core.executor import ExecutionContext, _resolve_inputs
     from ..core.registry import OPS
 
+    island = (jnp.bfloat16
+              if graph.meta.get("island_dtype") == "bfloat16" else None)
     ctx = ExecutionContext(graph=graph, platform=jax.default_backend(),
-                           interpret=jax.default_backend() != "tpu")
+                           interpret=jax.default_backend() != "tpu",
+                           island_dtype=island)
 
     def make_prefix(k: int):
         ops_k = order[:k]
@@ -149,34 +165,137 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
 
         return sub
 
-    results = []
-    prev = 0.0
-    for k in range(1, len(order) + 1):
-        sub = make_prefix(k)
+    def make_looped(sub):
+        @jax.jit
+        def looped(w, f, iters):
+            def body(i, carry):
+                f_cur, acc = carry
+                out = sub(w, f_cur)
+                s = sum(jnp.sum(jnp.square(v.astype(jnp.float32)))
+                        for v in out.values())
+                # runtime-zero data-dependent bump: keeps every input
+                # loop-variant so XLA cannot hoist the (loop-invariant)
+                # prefix body out of the loop; false at run time
+                bump = s > jnp.float32(3e38)
+                f_cur = {
+                    kk: (v ^ bump if v.dtype == jnp.bool_
+                         else v + bump.astype(v.dtype))
+                    for kk, v in f_cur.items()
+                }
+                return f_cur, acc + s
 
-        @functools.partial(jax.jit, static_argnames=("it",))
-        def looped(w, f, it, sub=sub):
-            def body(i, acc):
-                out = sub(w, f)
-                return acc + sum(
-                    jnp.sum(jnp.abs(v.astype(jnp.float32)))
-                    for v in out.values()) * 1e-12
+            _, acc = jax.lax.fori_loop(0, iters, body, (f, jnp.float32(0)))
+            return acc
 
-            return jax.lax.fori_loop(0, it, body, jnp.float32(0))
+        return looped
+
+    ks = list(ks) if ks is not None else list(range(1, len(order) + 1))
+    results: List[dict] = []
+    prev_cum = 0.0
+    prev_k = 0
+    loop = 4096  # early prefixes are tiny; shrinks as prefixes grow
+    for k in ks:
+        looped = make_looped(make_prefix(k))
 
         def timed(it):
             t0 = time.perf_counter()
-            float(jax.device_get(looped(weights, feed, it)))
+            float(jax.device_get(looped(weights, feed, jnp.int32(it))))
             return time.perf_counter() - t0
 
-        timed(1)
-        timed(iters)
-        dt = max(timed(iters) - timed(1), 0.0) / (iters - 1)
-        results.append({
+        timed(1)  # compile (iters is dynamic: one compile per prefix)
+        while True:
+            d = float(np.median([timed(1 + loop) - timed(1)
+                                 for _ in range(3)]))
+            if d >= min_window or loop >= 1 << 22:
+                break
+            scale = (min_window * 1.3) / max(d, 1e-3)
+            loop = min(max(int(loop * scale) + 1, loop * 2), 1 << 22)
+        deltas = [timed(1 + loop) - timed(1) for _ in range(reps)]
+        good = [x for x in deltas if x > min_window / 4]
+        dt = float(np.median(good or deltas)) / loop
+        row = {
             "op": order[k - 1].op_type,
             "id": order[k - 1].id,
+            "k": k,
+            "n_ops": k - prev_k,
             "cum_ms": dt * 1e3,
-            "ms": max(dt - prev, 0.0) * 1e3,
-        })
-        prev = dt
+            "ms": max(dt - prev_cum, 0.0) * 1e3,
+            "loop": loop,
+        }
+        results.append(row)
+        if progress is not None:
+            progress(row)
+        prev_cum = dt
+        prev_k = k
+        # next prefix costs >= this one per iteration; pre-shrink the window
+        loop = max(int(min_window * 1.3 / max(dt, 1e-7)), 8)
     return results
+
+
+def _main() -> None:
+    """On-device per-op latency profile of a zoo model.
+
+    python -m paddle_lite_tpu.tools.profile --model mobilenet_v3 --batch 64
+    Writes one JSON row per prefix to --out (JSONL, incremental) so long
+    profiles can be inspected while running.
+    """
+    import argparse
+    import importlib
+    import json
+    import os
+
+    import jax
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--seq-len", type=int, default=128)
+    p.add_argument("--fp32", action="store_true", help="skip quantization")
+    p.add_argument("--island-dtype", default="float32")
+    p.add_argument("--out", default=None)
+    p.add_argument("--min-window", type=float, default=0.3)
+    args = p.parse_args()
+
+    from .. import QuantConfig
+    from .opt import optimize
+
+    mod = importlib.import_module(f"paddle_lite_tpu.models.{args.model}")
+    if args.model == "ernie_tiny":
+        graph = mod.build(batch=args.batch, seq_len=args.seq_len)
+    else:
+        graph = mod.build(batch=args.batch, image_size=args.image_size)
+
+    rng = np.random.default_rng(0)
+    feed = {}
+    for name in graph.inputs:
+        shape = graph.vars[name].shape
+        dt = graph.vars[name].precision.np_dtype
+        if np.issubdtype(dt, np.integer):
+            feed[name] = rng.integers(0, 100, shape).astype(dt)
+        else:
+            feed[name] = rng.normal(size=shape).astype(dt)
+    if not args.fp32:
+        optimize(graph, quant=QuantConfig(island_dtype=args.island_dtype),
+                 calib_batches=[feed])
+
+    out_path = args.out or f"/tmp/profile_{args.model}.jsonl"
+    f = open(out_path, "w")
+
+    def prog(row):
+        f.write(json.dumps(row) + "\n")
+        f.flush()
+        print(f"k={row['k']:>3} {row['op']:<18} ms={row['ms']:.4f} "
+              f"cum={row['cum_ms']:.3f}", flush=True)
+
+    latency_report(graph, feed, min_window=args.min_window, progress=prog)
+    f.close()
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    _main()

@@ -55,7 +55,7 @@ def test_latency_report_smoke(rng):
     b.mark_output(y)
     g = b.build()
     rows = latency_report(g, {"x": np.zeros((1, 4, 4, 4), np.float32)},
-                          iters=2)
+                          min_window=1e-4, reps=1)
     assert len(rows) == len(g.ops)
     assert all(r["ms"] >= 0 for r in rows)
     assert [r["op"] for r in rows][:1] == ["conv2d"]
