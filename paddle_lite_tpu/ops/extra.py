@@ -248,3 +248,43 @@ def one_hot_xla(ctx, op, ins):
 
 
 OPS.register("one_hot_v2", infer_shape=one_hot_shape)
+
+
+# ---- QAT fake-quant ops (PaddleSlim graphs) ---------------------------------
+# Imported QAT graphs carry these; ``quant_dequant_fuse`` deletes them during
+# optimize() and reuses their recorded scales.  They are registered with
+# faithful fp32 impls (quantize-dequantize roundtrip — what the training
+# graph computed) so an *unoptimized* imported QAT model still runs and can
+# be diffed layer-by-layer against the fused int8 program.
+
+def _fake_q_impl(ctx, op, ins):
+    x = ins["X"][0]
+    bits = int(op.attrs.get("bit_length", 8))
+    qmax = float(2 ** (bits - 1) - 1)
+    if "InScale" in ins:
+        r = jnp.abs(ins["InScale"][0]).reshape(())
+    elif "scale" in op.attrs:
+        r = jnp.float32(op.attrs["scale"])
+    else:
+        r = jnp.max(jnp.abs(x))  # abs_max variant: dynamic range
+    r = jnp.maximum(r.astype(jnp.float32), 1e-10)
+    q = jnp.clip(jnp.round(x / r * qmax), -qmax, qmax)
+    return {"Out": [q * (r / qmax)]}
+
+
+def _fake_dq_impl(ctx, op, ins):
+    # the paired fake_quantize already emitted dequantized values
+    return {"Out": [ins["X"][0]]}
+
+
+for _fq in ("fake_quantize_abs_max",
+            "fake_quantize_range_abs_max",
+            "fake_quantize_moving_average_abs_max",
+            "fake_quantize_dequantize_moving_average_abs_max",
+            "fake_quantize_dequantize_abs_max"):
+    OPS.register(_fq, infer_shape=_same, input_slots=("X", "InScale"))
+    OPS.get(_fq).impls["xla"] = _fake_q_impl
+
+for _fdq in ("fake_dequantize_max_abs", "fake_channel_wise_dequantize_max_abs"):
+    OPS.register(_fdq, infer_shape=_same, input_slots=("X", "Scales"))
+    OPS.get(_fdq).impls["xla"] = _fake_dq_impl

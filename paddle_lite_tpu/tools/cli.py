@@ -20,6 +20,12 @@ import numpy as np
 
 
 def _build_model(name: str, **kw):
+    import os
+
+    if os.path.isdir(name):  # fluid model dir (__model__ [+ params])
+        from paddle_lite_tpu.formats.fluid_convert import load_fluid_model
+
+        return load_fluid_model(name, batch=kw.get("batch", 1))
     mod = importlib.import_module(f"paddle_lite_tpu.models.{name}")
     return mod.build(**kw)
 
