@@ -132,6 +132,7 @@ class Graph:
         prec = {
             np.dtype(np.float32): Precision.FP32,
             np.dtype(np.int8): Precision.INT8,
+            np.dtype(np.int16): Precision.INT16,
             np.dtype(np.int32): Precision.INT32,
             np.dtype(np.int64): Precision.INT64,
         }.get(value.dtype, Precision.FP32)

@@ -26,6 +26,7 @@ class Precision(enum.Enum):
     FP32 = "fp32"
     BF16 = "bf16"
     INT8 = "int8"
+    INT16 = "int16"
     INT32 = "int32"
     INT64 = "int64"
     BOOL = "bool"
@@ -39,6 +40,7 @@ class Precision(enum.Enum):
             Precision.FP32: np.dtype(np.float32),
             Precision.BF16: np.dtype(jnp.bfloat16),
             Precision.INT8: np.dtype(np.int8),
+            Precision.INT16: np.dtype(np.int16),
             Precision.INT32: np.dtype(np.int32),
             Precision.INT64: np.dtype(np.int64),
             Precision.BOOL: np.dtype(np.bool_),
