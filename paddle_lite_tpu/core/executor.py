@@ -39,6 +39,11 @@ class ExecutionContext:
     # halves fp-island HBM traffic; matmul/conv accumulation and the
     # quantize/LN/softmax internals stay fp32 regardless
     island_dtype: Optional[Any] = None
+    # multi-device serving (ShardedPredictor): the mesh + axis names the
+    # "tp_pallas" kernel impls shard_map over; None = single-device trace
+    mesh: Optional[Any] = None
+    tp_axis: str = "model"
+    dp_axis: Optional[str] = "data"
 
     def var_quant(self, name: str):
         return self.graph.vars[name].quant
@@ -61,6 +66,7 @@ def build_callable(
     platform: Optional[str] = None,
     interpret: Optional[bool] = None,
     capture: Optional[Callable[[str, Any], None]] = None,
+    mesh: Optional[Any] = None,
 ) -> Callable[[Dict[str, Any], Dict[str, Any]], Dict[str, Any]]:
     """Return ``fn(weights, inputs) -> outputs`` ready for ``jax.jit``.
 
@@ -76,7 +82,7 @@ def build_callable(
     interp = (plat != "tpu") if interpret is None else interpret
     island = jnp.bfloat16 if graph.meta.get("island_dtype") == "bfloat16" else None
     ctx = ExecutionContext(graph=graph, platform=plat, interpret=interp,
-                           island_dtype=island)
+                           island_dtype=island, mesh=mesh)
 
     def to_island(a):
         # cast fp32 values to the island dtype; XLA fuses the cast into the

@@ -105,24 +105,33 @@ def shard_inputs(graph: Graph, inputs: Dict[str, np.ndarray], mesh: Mesh):
 class ShardedPredictor:
     """Multi-device predictor: DP batch axis × TP channel axis.
 
-    Note: routes every op through the XLA lowerings (the Pallas GEMM runs
-    per-shard inside ``shard_map`` in the dedicated TP path —
-    ``parallel/tp_pallas.py``; under plain GSPMD the partitioner cannot see
-    inside a pallas_call, so the default sharded path strips pallas picks).
+    Int8 fc / mul / 1×1-conv ops run the fused Pallas GEMM *per shard*
+    under ``shard_map`` (``parallel/tp_ops.assign_tp_kernels`` retags them
+    to the "tp_pallas" kernel; column-parallel layout → zero collectives in
+    the GEMM itself).  Every other op goes through the XLA lowerings, where
+    the GSPMD partitioner propagates shardings and inserts collectives —
+    plain single-device pallas picks are stripped because the partitioner
+    cannot see inside a pallas_call.
     """
 
     def __init__(self, graph: Graph, mesh_config: MeshConfig,
-                 devices=None):
+                 devices=None, use_tp_pallas: bool = True):
         from ..core.executor import build_callable, stage_weights
+        from .tp_ops import assign_tp_kernels
 
         self.graph = graph
         self.mesh = mesh_config.build(devices)
-        for op in graph.ops:
-            if op.attrs.get("kernel") == "pallas":
-                op.attrs["kernel"] = "xla"
-        self._fn = jax.jit(build_callable(graph, platform="tpu"
-                                          if jax.default_backend() == "tpu"
-                                          else None))
+        if use_tp_pallas:
+            self.n_tp_ops = assign_tp_kernels(graph, self.mesh)
+        else:
+            self.n_tp_ops = 0
+            for op in graph.ops:
+                if op.attrs.get("kernel") == "pallas":
+                    op.attrs["kernel"] = "xla"
+        self._fn = jax.jit(build_callable(
+            graph,
+            platform="tpu" if jax.default_backend() == "tpu" else None,
+            mesh=self.mesh))
         self._weights = shard_weights(graph, stage_weights(graph), self.mesh)
 
     def run(self, inputs):

@@ -53,12 +53,16 @@ def column_parallel_int8_matmul(
     bias=None,
     *,
     axis: str = "model",
+    data_axis: Optional[str] = None,
     act: Optional[str] = None,
     act_attrs=None,
     out_scale: Optional[float] = None,
     interpret: bool = False,
 ):
-    """Returns the (M, N) result, feature-sharded over `axis`."""
+    """Returns the (M, N) result, feature-sharded over `axis` (and
+    batch-sharded over `data_axis` when given — the DP×TP serving layout:
+    each device runs the Pallas kernel on its own batch × feature tile,
+    with no collective at all for the column layout)."""
     n_parts = mesh.shape[axis]
     n = w.shape[1]
     if n % n_parts:
@@ -71,8 +75,8 @@ def column_parallel_int8_matmul(
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(None, axis), P(axis), P(axis)),
-        out_specs=P(None, axis),
+        in_specs=(P(data_axis, None), P(None, axis), P(axis), P(axis)),
+        out_specs=P(data_axis, axis),
         check_vma=False,
     )
     b = jnp.zeros((n,), jnp.float32) if bias is None else jnp.asarray(bias)
@@ -87,6 +91,7 @@ def row_parallel_int8_matmul(
     bias=None,
     *,
     axis: str = "model",
+    data_axis: Optional[str] = None,
     act: Optional[str] = None,
     act_attrs=None,
     out_scale: Optional[float] = None,
@@ -116,11 +121,15 @@ def row_parallel_int8_matmul(
             total = jax.lax.psum(partial, axis)
         return _epilogue(total, eff, b, act, act_attrs, out_scale)
 
-    out_spec = P(axis, None) if scatter_batch else P()
+    if scatter_batch:
+        out_spec = P(axis, None) if data_axis is None \
+            else P((data_axis, axis), None)
+    else:
+        out_spec = P(data_axis, None)
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(None, axis), P(axis, None)),
+        in_specs=(P(data_axis, axis), P(axis, None)),
         out_specs=out_spec,
         check_vma=False,
     )

@@ -49,3 +49,27 @@ def test_sharded_matches_single_device(dp, tp, rng):
 def test_mesh_config_validation():
     with pytest.raises(ValueError, match="needs"):
         MeshConfig(data=64, model=4).build()
+
+
+def test_tp_pallas_kernels_assigned_and_match(rng):
+    """ShardedPredictor must route int8 fc/1x1-conv through the shard_map'd
+    Pallas TP path (kernel tag "tp_pallas"), and the result must match the
+    plain-GSPMD sharded run exactly."""
+    g = _model(batch=8)
+    batches = [{"x": rng.normal(size=(8, 8, 8, 16)).astype(np.float32)}]
+    optimize(g, quant=QuantConfig(), calib_batches=batches)
+    feed = {"x": rng.normal(size=(8, 8, 8, 16)).astype(np.float32)}
+
+    import copy
+    g_ref = copy.deepcopy(g)
+    ref_sp = ShardedPredictor(g_ref, MeshConfig(data=2, model=4),
+                              use_tp_pallas=False)
+    ref = np.asarray(jax.device_get(ref_sp.run(feed)[g_ref.outputs[0]]))
+
+    sp = ShardedPredictor(g, MeshConfig(data=2, model=4), use_tp_pallas=True)
+    assert sp.n_tp_ops >= 2  # the 1x1 convs + fc
+    tagged = [op.op_type for op in g.ops
+              if op.attrs.get("kernel") == "tp_pallas"]
+    assert "fc" in tagged and "conv2d" in tagged
+    got = np.asarray(jax.device_get(sp.run(feed)[g.outputs[0]]))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
