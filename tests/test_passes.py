@@ -154,3 +154,56 @@ def test_parallel_fc_fuse_numeric(rng):
     b = np.asarray(ref[k]).ravel()
     cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
     assert cos > 0.99
+
+
+def test_dag_pattern_matcher_se_block(rng):
+    """DagPattern must find the SE diamond (multi-consumer x: pool AND mul)
+    that the chain matcher cannot express."""
+    from paddle_lite_tpu.core.pattern_matcher import DagPattern
+    from paddle_lite_tpu.models import mobilenet_v3
+
+    g = mobilenet_v3.build(batch=1, image_size=64)
+    p = DagPattern()
+    p.node("pool", "pool2d",
+           where=lambda op: op.attrs.get("global_pooling", False))
+    p.node("fc1", "conv2d")
+    p.node("relu", "relu")
+    p.node("fc2", "conv2d")
+    p.node("gate", "hard_sigmoid")
+    p.node("mul", "elementwise_mul")
+    p.edge("pool", "fc1")
+    p.edge("fc1", "relu")
+    p.edge("relu", "fc2")
+    p.edge("fc2", "gate")
+    p.edge("gate", "mul", dst_slot="Y")
+    matches = p.match(g)
+    # MobileNetV3-Large has 8 SE blocks
+    assert len(matches) == 8
+    for m in matches:
+        assert m["mul"].op_type == "elementwise_mul"
+        # the data operand of the mul is the pool's own input (the diamond)
+        assert m["pool"].input("X") == m["mul"].input("X")
+
+
+def test_dag_pattern_slot_constraint(rng):
+    """dst_slot must reject edges arriving in the wrong slot."""
+    from paddle_lite_tpu.core.pattern_matcher import DagPattern
+    from paddle_lite_tpu import GraphBuilder
+
+    b = GraphBuilder("m")
+    x = b.input("x", (1, 4))
+    y = b.act(x, "sigmoid")
+    z = b.eltwise(y, x, "mul")  # sigmoid output arrives in slot X
+    b.mark_output(z)
+    g = b.build()
+
+    p = DagPattern()
+    p.node("s", "sigmoid")
+    p.node("m", "elementwise_mul")
+    p.edge("s", "m", dst_slot="Y")
+    assert p.match(g) == []
+    p2 = DagPattern()
+    p2.node("s", "sigmoid")
+    p2.node("m", "elementwise_mul")
+    p2.edge("s", "m", dst_slot="X")
+    assert len(p2.match(g)) == 1
