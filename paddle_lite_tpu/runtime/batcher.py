@@ -35,6 +35,12 @@ class BatcherConfig:
     buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64)
     max_wait_ms: float = 2.0  # linger before dispatching a partial batch
     max_queue: int = 1024
+    # Per-model measured best-batch table (runtime/batch_table.py): when
+    # `model` names an entry in .autotune/batch.json, the ladder is capped
+    # at that model's measured-throughput-optimal bucket (padding past the
+    # peak only adds latency — e.g. DBNet peaks at b4, MobileNets at b64).
+    model: Optional[str] = None
+    autotune_dir: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -59,6 +65,15 @@ class ContinuousBatcher:
         config: Optional[BatcherConfig] = None,
     ):
         self.config = config or BatcherConfig()
+        if self.config.model is not None:
+            from .batch_table import best_bucket
+
+            best = best_bucket(self.config.model, self.config.buckets,
+                               self.config.autotune_dir)
+            if best is not None:
+                capped = tuple(b for b in self.config.buckets if b <= best)
+                self.config = dataclasses.replace(self.config,
+                                                  buckets=capped or (best,))
         self._factory = predictor_factory
         self._predictors: Dict[int, Any] = {}
         self._queue: "queue.Queue[_Pending]" = queue.Queue(self.config.max_queue)

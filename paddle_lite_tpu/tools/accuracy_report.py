@@ -153,6 +153,10 @@ def accuracy_report(model: str, *, n_images: int = 1000, batch: int = 50,
 
 def main() -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                   help="cpu (default: accuracy is platform-independent and "
+                        "must not contend with TPU perf jobs; the dev env's "
+                        "sitecustomize force-selects the TPU otherwise)")
     p.add_argument("--model", default="mobilenet_v1",
                    choices=["mobilenet_v1", "resnet"])
     p.add_argument("--n-images", type=int, default=1000)
@@ -162,6 +166,10 @@ def main() -> None:
     p.add_argument("--calib-batches", type=int, default=4)
     p.add_argument("--out", default=None)
     args = p.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     rep = accuracy_report(args.model, n_images=args.n_images,
                           batch=args.batch, image_size=args.image_size,
                           methods=tuple(args.methods.split(",")),

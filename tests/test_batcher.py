@@ -96,3 +96,54 @@ def test_batcher_failure_isolated():
             f2.result(timeout=30)
     finally:
         batcher.close()
+
+
+def test_model_specific_bucket_cap(tmp_path, rng):
+    """A measured best-batch table must cap the bucket ladder at the
+    model's throughput-optimal size (VERDICT r1 #8)."""
+    import json
+
+    from paddle_lite_tpu.runtime.batch_table import best_bucket, save_entry
+    from paddle_lite_tpu.runtime.batcher import BatcherConfig, ContinuousBatcher
+
+    d = str(tmp_path)
+    # DBNet-like profile: throughput peaks at b4
+    save_entry("dbnet_like", {1: 300.0, 2: 500.0, 4: 900.0, 8: 700.0,
+                              16: 650.0}, d)
+    assert best_bucket("dbnet_like", (1, 2, 4, 8, 16), d) == 4
+
+    built = []
+
+    class Echo:
+        def __init__(self, batch):
+            self.batch = batch
+
+        def run(self, inputs):
+            return {"out": inputs["x"] * 2}
+
+    def factory(batch):
+        built.append(batch)
+        return Echo(batch)
+
+    cfg = BatcherConfig(buckets=(1, 2, 4, 8, 16), model="dbnet_like",
+                        autotune_dir=d, max_wait_ms=20.0)
+    b = ContinuousBatcher(factory, cfg)
+    try:
+        assert tuple(b.config.buckets) == (1, 2, 4)
+        futs = [b.submit({"x": np.full((3,), i, np.float32)})
+                for i in range(10)]
+        outs = [f.result(timeout=10) for f in futs]
+        for i, o in enumerate(outs):
+            np.testing.assert_allclose(o["out"], np.full((3,), 2 * i))
+        assert max(built) <= 4  # never over-batches past the measured peak
+    finally:
+        b.close()
+
+    # unknown model: ladder untouched
+    cfg2 = BatcherConfig(buckets=(1, 2, 4, 8, 16), model="never_measured",
+                         autotune_dir=d)
+    b2 = ContinuousBatcher(factory, cfg2)
+    try:
+        assert tuple(b2.config.buckets) == (1, 2, 4, 8, 16)
+    finally:
+        b2.close()
