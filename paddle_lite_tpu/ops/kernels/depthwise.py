@@ -170,3 +170,197 @@ def supported(op_attrs, x_shape, w_shape) -> bool:
         and dil == (1, 1)
         and pads == ((1, 1), (1, 1))
     )
+
+
+# ---- generalized variant: k in {3,5}, stride in {1,2} ----------------------
+# Stride-2 uses *phase decomposition*: the padded input is split into 4
+# polyphase components xp[2q+p_h, 2s+p_w] so every tap becomes a dense
+# (unit-stride) read from one phase — Mosaic-friendly, no strided loads.
+# Same epilogue fusion as the s1 kernel. This closes the round-1 open item
+# "stride-2 variant unimplemented" (VERDICT #6): MobileNet's stride-2
+# depthwise layers can now be measured against XLA rather than defaulting.
+
+def _dw_kernel_s2(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
+                  oh: int, ow: int, kh: int, kw: int, row_chunk: int,
+                  act, act_attrs, out_scale, out_dtype):
+    wt = w_ref[:]  # (kh*kw, BC) int8 taps
+    scale = scale_ref[:]
+    bias = bias_ref[:]
+    for rc in range(oh // row_chunk):
+        r0 = rc * row_chunk
+        acc = jnp.zeros((row_chunk, ow, _BC), jnp.int32)
+        for i in range(kh):
+            ph, qi = i % 2, i // 2
+            for j in range(kw):
+                pw, qj = j % 2, j // 2
+                xs = x_ref[ph * 2 + pw, 0,
+                           r0 + qi:r0 + qi + row_chunk,
+                           qj:qj + ow, :]
+                acc = acc + xs.astype(jnp.int32) * wt[i * kw + j].astype(jnp.int32)
+        y = acc.astype(jnp.float32) * scale[0]
+        y = y + bias[0]
+        y = apply_activation(y, act, act_attrs)
+        if out_scale is not None:
+            y = jnp.clip(jnp.round(y * (1.0 / out_scale)), -127, 127)
+        out_ref[0, r0:r0 + row_chunk, :, :] = y.astype(out_dtype)
+
+
+def _dw_kernel_s1(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
+                  oh: int, ow: int, kh: int, kw: int, row_chunk: int,
+                  act, act_attrs, out_scale, out_dtype):
+    wt = w_ref[:]
+    scale = scale_ref[:]
+    bias = bias_ref[:]
+    for rc in range(oh // row_chunk):
+        r0 = rc * row_chunk
+        acc = jnp.zeros((row_chunk, ow, _BC), jnp.int32)
+        for i in range(kh):
+            for j in range(kw):
+                xs = x_ref[0, r0 + i:r0 + i + row_chunk, j:j + ow, :]
+                acc = acc + xs.astype(jnp.int32) * wt[i * kw + j].astype(jnp.int32)
+        y = acc.astype(jnp.float32) * scale[0]
+        y = y + bias[0]
+        y = apply_activation(y, act, act_attrs)
+        if out_scale is not None:
+            y = jnp.clip(jnp.round(y * (1.0 / out_scale)), -127, 127)
+        out_ref[0, r0:r0 + row_chunk, :, :] = y.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kh", "kw", "stride", "pad", "act",
+                              "act_attrs_tuple", "out_scale", "interpret")
+)
+def _dw_general_impl(x, wk, eff_scale, bias, *, kh, kw, stride, pad, act,
+                     act_attrs_tuple, out_scale, interpret):
+    n, h, wdt, c = x.shape
+    act_attrs = dict(act_attrs_tuple) if act_attrs_tuple else None
+    if bias is not None:
+        bias = bias.astype(jnp.float32)
+    cp = -c % _BC
+    if cp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp)))
+        wk = jnp.pad(wk, ((0, 0), (0, cp)))
+        eff_scale = jnp.pad(eff_scale, (0, cp))
+        bias = jnp.pad(bias, (0, cp))
+    cq = c + cp
+    oh = (h + 2 * pad - kh) // stride + 1
+    ow = (wdt + 2 * pad - kw) // stride + 1
+    out_dtype = jnp.int8 if out_scale is not None else jnp.float32
+    row_chunk = _pick_row_chunk(oh)
+    eff2 = eff_scale.reshape(1, -1).astype(jnp.float32)
+    b2 = bias.reshape(1, -1).astype(jnp.float32)
+
+    if stride == 1:
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(
+                _dw_kernel_s1, oh=oh, ow=ow, kh=kh, kw=kw,
+                row_chunk=row_chunk, act=act, act_attrs=act_attrs,
+                out_scale=out_scale, out_dtype=out_dtype),
+            grid=(n, cq // _BC),
+            in_specs=[
+                pl.BlockSpec((1, h + 2 * pad, wdt + 2 * pad, _BC),
+                             lambda bb, cb: (bb, 0, 0, cb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kh * kw, _BC), lambda bb, cb: (0, cb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _BC), lambda bb, cb: (0, cb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _BC), lambda bb, cb: (0, cb),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, oh, ow, _BC),
+                                   lambda bb, cb: (bb, 0, 0, cb),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, oh, ow, cq), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * oh * ow * cq * kh * kw,
+                bytes_accessed=n * h * wdt * cq * 2, transcendentals=0),
+            interpret=interpret,
+        )(xp, wk, eff2, b2)
+        return out[..., :c]
+
+    # stride 2: polyphase split of the padded input
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    # phase q-extent must cover r0 + (k-1)//2 + row_chunk
+    qh = oh + (kh - 1) // 2
+    qw = ow + (kw - 1) // 2
+    pad_h = max(0, 2 * qh - hp)
+    pad_w = max(0, 2 * qw - wp)
+    xp = jnp.pad(xp, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    phases = jnp.stack([xp[:, p_h::2, :, :][:, :qh, p_w::2, :][:, :, :qw, :]
+                        for p_h in (0, 1) for p_w in (0, 1)])  # (4,N,qh,qw,C)
+    out = pl.pallas_call(
+        functools.partial(
+            _dw_kernel_s2, oh=oh, ow=ow, kh=kh, kw=kw,
+            row_chunk=row_chunk, act=act, act_attrs=act_attrs,
+            out_scale=out_scale, out_dtype=out_dtype),
+        grid=(n, cq // _BC),
+        in_specs=[
+            pl.BlockSpec((4, 1, qh, qw, _BC),
+                         lambda bb, cb: (0, bb, 0, 0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh * kw, _BC), lambda bb, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BC), lambda bb, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BC), lambda bb, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, oh, ow, _BC),
+                               lambda bb, cb: (bb, 0, 0, cb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, oh, ow, cq), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * oh * ow * cq * kh * kw,
+            bytes_accessed=n * h * wdt * cq * 2, transcendentals=0),
+        interpret=interpret,
+    )(phases, wk, eff2, b2)
+    return out[..., :c]
+
+
+def dw_conv_int8(
+    x,  # (N, H, W, C) int8
+    w,  # (kh, kw, 1, C) int8
+    eff_scale,
+    bias=None,
+    *,
+    stride: int = 1,
+    act: Optional[str] = None,
+    act_attrs: Optional[dict] = None,
+    out_scale: Optional[float] = None,
+    interpret: bool = False,
+):
+    """General int8 depthwise kernel: k∈{3,5}, stride∈{1,2}, SAME padding."""
+    kh, kw, _, c = w.shape
+    wk = jnp.asarray(w).reshape(kh * kw, c)
+    eff = jnp.broadcast_to(jnp.asarray(eff_scale, jnp.float32), (c,))
+    b = jnp.zeros((c,), jnp.float32) if bias is None else jnp.asarray(bias)
+    act_attrs_tuple = tuple(sorted(act_attrs.items())) if act_attrs else None
+    return _dw_general_impl(
+        x, wk, eff, b, kh=kh, kw=kw, stride=stride, pad=(kh - 1) // 2,
+        act=act, act_attrs_tuple=act_attrs_tuple,
+        out_scale=None if out_scale is None else float(out_scale),
+        interpret=interpret)
+
+
+def supported_general(op_attrs, x_shape, w_shape) -> bool:
+    """k in {3,5} square, stride in {1,2} uniform, SAME padding, no dilation."""
+    from ..common import normalize_2d, normalize_paddings
+
+    kh, kw = w_shape[0], w_shape[1]
+    strides = normalize_2d(op_attrs.get("strides", (1, 1)))
+    dil = normalize_2d(op_attrs.get("dilations", (1, 1)))
+    pads = normalize_paddings(op_attrs.get("paddings", (0, 0)))
+    p = (kh - 1) // 2
+    return (
+        kh == kw and kh in (3, 5)
+        and strides in ((1, 1), (2, 2)) and strides[0] == strides[1]
+        and dil == (1, 1)
+        and pads == ((p, p), (p, p))
+    )

@@ -16,6 +16,7 @@ real pod slice the same harness measures ICI-backed scaling.
 from __future__ import annotations
 
 import functools
+import json
 import time
 from typing import Dict, List, Optional
 
@@ -89,9 +90,11 @@ def run_scaling(model_builder, *, per_device_batch: int = 16,
         if base_ips is None:
             base_ips = ips / n  # per-device at n = device_counts[0]
         eff = ips / (n * base_ips)
-        results.append({"devices": n, "dp": dp, "tp": tp, "batch": batch,
-                        "images_per_sec": round(ips, 1),
-                        "efficiency": round(eff, 3)})
+        row = {"devices": n, "dp": dp, "tp": tp, "batch": batch,
+               "images_per_sec": round(ips, 1),
+               "efficiency": round(eff, 3)}
+        print(json.dumps(row), flush=True)  # incremental: long CPU runs
+        results.append(row)
     return results
 
 

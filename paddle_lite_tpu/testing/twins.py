@@ -33,8 +33,11 @@ def _torch():
 
 
 def realistic_init(model, seed: int = 0) -> None:
-    """Trained-looking statistics (see module docstring)."""
+    """Trained-looking statistics (see module docstring). Deterministic:
+    kaiming_/normal_ draw from the GLOBAL torch RNG, so it must be seeded
+    too (a twin must build bit-identically for every (arch, seed))."""
     torch, nn = _torch()
+    torch.manual_seed(seed)
     g = torch.Generator().manual_seed(seed)
     for m in model.modules():
         if isinstance(m, nn.Conv2d):
@@ -55,6 +58,25 @@ def realistic_init(model, seed: int = 0) -> None:
             nn.init.normal_(m.weight, 0, 0.02)
             if m.bias is not None:
                 nn.init.normal_(m.bias, 0, 0.02)
+
+
+def _calibrate_logit_scale(model, *, in_size: int, seed: int,
+                           target_std: float = 4.0) -> None:
+    """Rescale the final Linear so logits have trained-network spread
+    (std ≈ 4 → confident softmax). A randomly-initialized head produces
+    near-uniform probabilities, which makes top-1 agreement metrics pure
+    noise; trained classifiers are confident, and the quantization-error
+    question only makes sense in that regime."""
+    torch, nn = _torch()
+    linear = [m for m in model.modules() if isinstance(m, nn.Linear)][-1]
+    gen = torch.Generator().manual_seed(seed + 12345)
+    probe = torch.randn(8, 3, in_size, in_size, generator=gen)
+    with torch.no_grad():
+        std = float(model(probe).std())
+        factor = target_std / max(std, 1e-6)
+        linear.weight.mul_(factor)
+        if linear.bias is not None:
+            linear.bias.mul_(factor)
 
 
 def torch_mobilenet_v1(num_classes: int = 1000, width_mult: float = 1.0,
@@ -82,6 +104,7 @@ def torch_mobilenet_v1(num_classes: int = 1000, width_mult: float = 1.0,
     model = nn.Sequential(*layers)
     realistic_init(model, seed)
     model.eval()
+    _calibrate_logit_scale(model, in_size=64, seed=seed)
     return model
 
 
@@ -143,6 +166,7 @@ def torch_resnet50(num_classes: int = 1000, seed: int = 0):
     model = ResNet50()
     realistic_init(model, seed)
     model.eval()
+    _calibrate_logit_scale(model, in_size=64, seed=seed)
     return model
 
 

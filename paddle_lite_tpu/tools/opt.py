@@ -28,7 +28,13 @@ FUSION_PASSES = [
     "fc_fuse",
     "fc_activation_fuse",
     "parallel_fc_fuse",  # QKV-style sibling-GEMM merge (after fc_fuse)
-    "stem_space_to_depth",  # after conv_bn_fuse: rewrites the folded weights
+    # NOT here: "stem_space_to_depth". Measured on the v5e (b64, 224px,
+    # 3ch->16ch 3x3s2 stem): s2d+conv LOSES to XLA's native stem lowering
+    # in both precisions (fp32: 265us vs ~140us; int8: 313us vs 222us) —
+    # XLA already handles the shallow-K stem well. The pass stays available
+    # (opt-in) with tests; the int8 stem win comes from keeping the stem
+    # conv float instead (quantize_pass._is_quantizable stem rule:
+    # fp32 stem + quantized output measured 142us vs 222us all-int8).
 ]
 
 FINALIZE_PASSES = [

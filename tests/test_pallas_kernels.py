@@ -154,3 +154,32 @@ def test_dw_pallas_requant(rng):
     ref = _dw_ref(x, w, eff, bias, act="relu", out_scale=0.05)
     assert got.dtype == np.int8
     assert np.abs(got.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+
+
+def test_dw_general_kernel_matches_xla(rng):
+    """Generalized depthwise kernel (k in {3,5}, stride in {1,2}; stride-2
+    via polyphase decomposition) vs the XLA lowering, interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from paddle_lite_tpu.ops.kernels.depthwise import (dw_conv_int8,
+                                                       supported_general)
+
+    for k, s, h, c in [(3, 1, 12, 24), (3, 2, 12, 24), (5, 1, 14, 40),
+                       (5, 2, 14, 40), (3, 2, 13, 130)]:
+        x = rng.integers(-127, 128, (2, h, h, c)).astype(np.int8)
+        w = rng.integers(-127, 128, (k, k, 1, c)).astype(np.int8)
+        eff = rng.uniform(0.001, 0.01, c).astype(np.float32)
+        bias = rng.normal(0, 0.1, c).astype(np.float32)
+        pad = (k - 1) // 2
+        assert supported_general(
+            {"strides": [s, s], "paddings": [pad, pad]}, x.shape, w.shape)
+        ref = jax.lax.conv_general_dilated(
+            x.astype(np.int32), w.astype(np.int32), (s, s),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+        ref = np.maximum(np.asarray(ref).astype(np.float32) * eff + bias, 0)
+        got = np.asarray(dw_conv_int8(
+            jnp.asarray(x), jnp.asarray(w), eff, bias, stride=s, act="relu",
+            interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-3)
