@@ -324,7 +324,14 @@ def _assign_int8_regions(graph: Graph, act_scales: Dict[str, float]) -> None:
     """
     memo: dict = {}
     for op in graph.topological_order():
-        if op.attrs.get("enable_int8"):
+        if op.attrs.get("enable_int8") or (
+                # float matmul-family ops (e.g. the skip_stem_conv stem)
+                # still write int8 when everything downstream is int8: the
+                # epilogue's fused quantize turns a 4x fp32 HBM write into
+                # an int8 one (decisive for wide stems like ResNet's 64ch)
+                op.op_type in QUANTIZABLE_OPS
+                and _WEIGHT_SLOTS.get(op.op_type)
+                and op.maybe_input(_WEIGHT_SLOTS[op.op_type]) is not None):
             out_name = op.output_names()[0]
             if out_name in act_scales and _consumers_accept_int8(graph, out_name, memo):
                 out_var = graph.vars[out_name]

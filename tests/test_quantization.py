@@ -75,7 +75,10 @@ def test_small_cnn_int8_pipeline(rng):
     assert all(
         g.weights[op.input("Filter")].dtype == np.int8 for op in rest
     )
-    assert any(op.op_type == "quantize" for op in g.ops)
+    # the float stem itself emits int8 (fused quantize epilogue via
+    # out_scale) — no standalone quantize node needed anywhere
+    assert stem.attrs.get("out_scale") is not None
+    assert not any(op.op_type == "quantize" for op in g.ops)
     inter_conv = [op.attrs.get("out_scale") for op in rest[:-1]]
     assert all(s is not None for s in inter_conv), "conv chain should stay int8"
 
