@@ -141,13 +141,26 @@ def _is_quantizable(graph: Graph, op: OpNode, config: QuantConfig) -> bool:
         # input quantize + int8-pipeline overheads cost real time — measured
         # on the v5e at b64/224: fp32 stem + quantized output 142us vs
         # all-int8 stem 222us (1.56x). The reference similarly ran the
-        # first conv fp32 in many int8 deployments.
+        # first conv fp32 in many int8 deployments. The walk looks through
+        # transparent producers (the fluid importer's NCHW→NHWC transpose
+        # sits between the input and the stem); channels = min(dim1, dim-1)
+        # because the root may still be in either layout.
         x = op.maybe_input("Input")
-        if x is not None:
+        seen = 0
+        while x is not None and seen < 8:
             v = graph.vars[x]
-            if (not v.is_weight and v.def_op is None
-                    and len(v.shape) == 4 and v.shape[-1] <= 4):
-                return False
+            if v.is_weight:
+                break
+            if v.def_op is None:
+                if len(v.shape) == 4 and min(v.shape[1], v.shape[-1]) <= 4:
+                    return False
+                break
+            if v.def_op.op_type in TRANSPARENT_OPS or \
+                    v.def_op.op_type == "space_to_depth":
+                x = v.def_op.input_names()[0]
+                seen += 1
+            else:
+                break
     if any(n in config.skip_ops for n in op.output_names()):
         return False
     w_slot = _WEIGHT_SLOTS[op.op_type]
@@ -501,7 +514,12 @@ def quant_dequant_fuse(graph: Graph) -> None:
     if dead:
         graph.remove_ops(dead)
         weight_scales = {k: v for k, v in weight_scales.items() if v is not None}
-        apply_quantization(graph, act_scales, weight_scales=weight_scales)
+        # QAT graphs quantize what training quantized: the skip_stem_conv
+        # perf heuristic is a PTQ-placement decision and must not override
+        # recorded fake-quant placement (ops without recorded scales are
+        # naturally skipped by the missing-scale check).
+        apply_quantization(graph, act_scales, weight_scales=weight_scales,
+                           config=QuantConfig(skip_stem_conv=False))
 
 
 def ptq_quantize(

@@ -270,3 +270,90 @@ def test_qat_import_end_to_end(rng, tmp_path):
     cos = float((fp32_out * int8_out).sum()
                 / (np.linalg.norm(fp32_out) * np.linalg.norm(int8_out) + 1e-9))
     assert cos > 0.999
+
+
+def test_committed_qat_fixture_end_to_end(rng):
+    """The COMMITTED fluid QAT model dir (tests/fixtures/qat_lenet —
+    generated once by make_qat_fixture.py, loaded from the pinned on-disk
+    bytes) loads, optimizes calibration-free, and the int8 program tracks
+    the QAT fp32 semantics."""
+    import os
+
+    from paddle_lite_tpu.tools.opt import optimize
+
+    d = os.path.join(os.path.dirname(__file__), "fixtures", "qat_lenet")
+    g = load_fluid_model(d, batch=2)
+    x = (rng.normal(size=(2, 1, 28, 28)) * 0.7).astype(np.float32)
+    fp32_out = np.asarray(build_callable(g)(stage_weights(g),
+                                            {"image": x})[g.outputs[0]])
+
+    g2 = load_fluid_model(d, batch=2)
+    optimize(g2)  # QAT: scales come from the recorded fake-quant thresholds
+    assert not any(op.op_type.startswith("fake_") for op in g2.ops)
+    convs = [op for op in g2.ops if op.op_type == "conv2d"]
+    assert len(convs) == 2
+    # QAT graphs quantize exactly what training quantized — the PTQ
+    # skip_stem_conv heuristic does not override recorded placements
+    assert all(g2.weights[c.input("Filter")].dtype == np.int8 for c in convs)
+    assert all(c.attrs.get("enable_int8") for c in convs)
+    int8_out = np.asarray(build_callable(g2)(stage_weights(g2),
+                                             {"image": x})[g2.outputs[0]])
+    cos = float((fp32_out * int8_out).sum()
+                / (np.linalg.norm(fp32_out) * np.linalg.norm(int8_out) + 1e-9))
+    assert cos > 0.999
+    assert (fp32_out.argmax(-1) == int8_out.argmax(-1)).mean() >= 0.5
+
+
+def test_fluid_transformer_block_converts(rng):
+    """Mini attention block: stack/matmul/softmax/transpose2/scale/
+    layer_norm through the converter (ERNIE-family op coverage)."""
+    prog = F.FluidProgram(blocks=[F.FluidBlock()])
+    b = prog.main
+    d_model, seq = 8, 4
+    rng2 = np.random.default_rng(3)
+    params = {
+        "wq": rng2.normal(0, 0.2, (d_model, d_model)).astype(np.float32),
+        "wk": rng2.normal(0, 0.2, (d_model, d_model)).astype(np.float32),
+        "wv": rng2.normal(0, 0.2, (d_model, d_model)).astype(np.float32),
+        "ln_g": np.abs(rng2.normal(1, 0.1, (d_model,))).astype(np.float32),
+        "ln_b": rng2.normal(0, 0.05, (d_model,)).astype(np.float32),
+    }
+    for n, v in params.items():
+        _var(b, n, v.shape, persistable=True)
+    for n, s in [("q", (-1, seq, d_model)), ("k", (-1, seq, d_model)),
+                 ("v", (-1, seq, d_model)), ("qk", (-1, seq, seq)),
+                 ("qk_s", (-1, seq, seq)), ("attn", (-1, seq, seq)),
+                 ("ctx", (-1, seq, d_model)), ("res", (-1, seq, d_model)),
+                 ("ln", (-1, seq, d_model))]:
+        _var(b, n, s)
+    b.ops = [
+        F.FluidOp("matmul", {"X": ["x"], "Y": ["wq"]}, {"Out": ["q"]}, {}),
+        F.FluidOp("matmul", {"X": ["x"], "Y": ["wk"]}, {"Out": ["k"]}, {}),
+        F.FluidOp("matmul", {"X": ["x"], "Y": ["wv"]}, {"Out": ["v"]}, {}),
+        F.FluidOp("matmul", {"X": ["q"], "Y": ["k"]}, {"Out": ["qk"]},
+                  {"transpose_Y": True}),
+        F.FluidOp("scale", {"X": ["qk"]}, {"Out": ["qk_s"]},
+                  {"scale": float(1 / np.sqrt(d_model)), "bias": 0.0}),
+        F.FluidOp("softmax", {"X": ["qk_s"]}, {"Out": ["attn"]}, {"axis": -1}),
+        F.FluidOp("matmul", {"X": ["attn"], "Y": ["v"]}, {"Out": ["ctx"]}, {}),
+        F.FluidOp("elementwise_add", {"X": ["ctx"], "Y": ["x"]},
+                  {"Out": ["res"]}, {"axis": -1}),
+        F.FluidOp("layer_norm", {"X": ["res"], "Scale": ["ln_g"],
+                                 "Bias": ["ln_b"]},
+                  {"Y": ["ln"]}, {"begin_norm_axis": 2, "epsilon": 1e-5}),
+    ]
+    _feed_fetch(b, "x", (-1, seq, d_model), "ln")
+    g = fluid_to_graph(prog, params, batch=2)
+    x = rng.normal(size=(2, seq, d_model)).astype(np.float32)
+    out = np.asarray(build_callable(g)(stage_weights(g),
+                                       {"x": x})[g.outputs[0]])
+    # numpy reference
+    q, k, v = x @ params["wq"], x @ params["wk"], x @ params["wv"]
+    qk = (q @ np.swapaxes(k, -1, -2)) / np.sqrt(d_model)
+    attn = np.exp(qk - qk.max(-1, keepdims=True))
+    attn /= attn.sum(-1, keepdims=True)
+    res = attn @ v + x
+    mu = res.mean(-1, keepdims=True)
+    var = res.var(-1, keepdims=True)
+    ref = (res - mu) / np.sqrt(var + 1e-5) * params["ln_g"] + params["ln_b"]
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
