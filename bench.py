@@ -57,7 +57,9 @@ def main() -> None:
     rng = np.random.default_rng(0)
     calib = [{"image": rng.normal(size=(BATCH, SIZE, SIZE, 3)).astype(np.float32)}]
 
-    g32 = mobilenet_v1.build(batch=BATCH, image_size=SIZE, seed=0)
+    # fp32 baseline goes through the same fusion pipeline (conv_bn fold,
+    # act fusion) — both precisions get the optimizer, only quant differs
+    g32 = optimize(mobilenet_v1.build(batch=BATCH, image_size=SIZE, seed=0))
     fp32_ips = _device_throughput(g32)
 
     int8_variants = {}

@@ -142,25 +142,26 @@ def _is_quantizable(graph: Graph, op: OpNode, config: QuantConfig) -> bool:
         # on the v5e at b64/224: fp32 stem + quantized output 142us vs
         # all-int8 stem 222us (1.56x). The reference similarly ran the
         # first conv fp32 in many int8 deployments. The walk looks through
-        # transparent producers (the fluid importer's NCHW→NHWC transpose
-        # sits between the input and the stem); channels = min(dim1, dim-1)
-        # because the root may still be in either layout.
-        x = op.maybe_input("Input")
-        seen = 0
-        while x is not None and seen < 8:
-            v = graph.vars[x]
-            if v.is_weight:
-                break
-            if v.def_op is None:
-                if len(v.shape) == 4 and min(v.shape[1], v.shape[-1]) <= 4:
-                    return False
-                break
-            if v.def_op.op_type in TRANSPARENT_OPS or \
-                    v.def_op.op_type == "space_to_depth":
-                x = v.def_op.input_names()[0]
-                seen += 1
-            else:
-                break
+        # transparent producers (the fluid importer's NCHW->NHWC transpose
+        # sits between the input and the stem); in-channels come from the
+        # conv's own filter (HWIO I x groups), which is layout-independent.
+        w_shape = graph.vars[op.input(_WEIGHT_SLOTS["conv2d"])].shape
+        in_ch = w_shape[2] * int(op.attrs.get("groups", 1))
+        if in_ch <= 4:
+            x = op.maybe_input("Input")
+            seen = 0
+            while x is not None and seen < 8:
+                v = graph.vars[x]
+                if v.is_weight:
+                    break
+                if v.def_op is None:
+                    return False  # stem: graph-input data, <=4 channels
+                if v.def_op.op_type in TRANSPARENT_OPS or \
+                        v.def_op.op_type == "space_to_depth":
+                    x = v.def_op.input_names()[0]
+                    seen += 1
+                else:
+                    break
     if any(n in config.skip_ops for n in op.output_names()):
         return False
     w_slot = _WEIGHT_SLOTS[op.op_type]

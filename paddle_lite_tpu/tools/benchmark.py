@@ -28,6 +28,23 @@ _MODEL_KW = {
 }
 
 
+def resolve_builder(model: str):
+    """Model name → build(batch=..., ...) callable; handles the two-headed
+    ppocr module (ppocr_det / ppocr_rec)."""
+    if model in ("ppocr_det", "dbnet"):
+        from ..models.ppocr import build_det
+
+        return lambda batch, image_size=640, **kw: build_det(
+            batch=batch, image_size=image_size)
+    if model in ("ppocr_rec", "crnn"):
+        from ..models.ppocr import build_rec
+
+        return lambda batch, image_size=320, **kw: build_rec(
+            batch=batch, width=image_size)
+    mod = importlib.import_module(f"paddle_lite_tpu.models.{model}")
+    return mod.build
+
+
 def device_throughput(graph, feed, *, loop: int = 16, unit_axis: int = 0) -> float:
     """Items/sec (batch items) via iteration-delta with scalar readback."""
     from ..core.executor import build_callable, stage_weights
@@ -120,13 +137,13 @@ def bench_model(model: str, *, batch: int, image_size: int = 224,
     from .. import QuantConfig
     from .opt import optimize
 
-    mod = importlib.import_module(f"paddle_lite_tpu.models.{model}")
+    builder = resolve_builder(model)
     rng = np.random.default_rng(0)
 
     def build():
         if model == "ernie_tiny":
-            return mod.build(batch=batch, seq_len=seq_len)
-        return mod.build(batch=batch, image_size=image_size)
+            return builder(batch=batch, seq_len=seq_len)
+        return builder(batch=batch, image_size=image_size)
 
     def make_feed(g):
         feed = {}

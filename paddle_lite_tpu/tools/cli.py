@@ -39,7 +39,10 @@ def cmd_compile(args) -> None:
     g = _build_model(args.model, batch=args.batch, image_size=args.image_size)
     quant = None
     calib = None
-    if args.int8:
+    if args.weight_only:
+        quant = QuantConfig(weight_only=args.weight_only,
+                            island_dtype=args.island_dtype)
+    elif args.int8:
         quant = QuantConfig(method=CalibMethod(args.calib_method),
                             island_dtype=args.island_dtype)
         rng = np.random.default_rng(0)
@@ -132,6 +135,9 @@ def main(argv=None) -> None:
     c.add_argument("--batch", type=int, default=1)
     c.add_argument("--image-size", type=int, default=224)
     c.add_argument("--int8", action="store_true")
+    c.add_argument("--weight-only", type=int, choices=[8, 16], default=None,
+                   help="calibration-free weight-only storage quantization "
+                        "(SaveModelNaive quantize-on-save analog)")
     c.add_argument("--island-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     c.add_argument("--calib-method", default="abs_max",

@@ -264,11 +264,13 @@ def _main() -> None:
     from .. import QuantConfig
     from .opt import optimize
 
-    mod = importlib.import_module(f"paddle_lite_tpu.models.{args.model}")
+    from .benchmark import resolve_builder
+
+    builder = resolve_builder(args.model)
     if args.model == "ernie_tiny":
-        graph = mod.build(batch=args.batch, seq_len=args.seq_len)
+        graph = builder(batch=args.batch, seq_len=args.seq_len)
     else:
-        graph = mod.build(batch=args.batch, image_size=args.image_size)
+        graph = builder(batch=args.batch, image_size=args.image_size)
 
     rng = np.random.default_rng(0)
     feed = {}
