@@ -74,6 +74,8 @@ def run_scaling(model_builder, *, per_device_batch: int = 16,
     for n in device_counts:
         if n > len(jax.devices()):
             break
+        if n < tp or n % tp:
+            continue  # mesh must factor as dp x tp
         dp = n // tp
         batch = per_device_batch * dp
         g = model_builder(batch=batch, image_size=image_size)
