@@ -95,10 +95,10 @@ def device_throughput(graph, feed, *, loop: int = 16, unit_axis: int = 0) -> flo
     while True:
         timed(1 + loop)  # compile/warm this window size
         d = float(np.median([timed(1 + loop) - timed(1) for _ in range(3)]))
-        if d >= 0.4 or loop >= 1024:
+        if d >= 0.4 or loop >= 1 << 20:
             break
         scale = 0.5 / max(d, 1e-3)
-        loop = min(max(int(loop * scale) + 1, loop * 2), 1024)
+        loop = min(max(int(loop * scale) + 1, loop * 2), 1 << 20)
     deltas = [timed(1 + loop) - timed(1) for _ in range(5)]
     good = [x for x in deltas if x > 0.1]
     if not good:
