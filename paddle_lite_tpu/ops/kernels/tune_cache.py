@@ -95,24 +95,39 @@ def measure_gemm(m: int, k: int, n: int, *, iters: int = 16,
         y = jnp.maximum(acc.astype(jnp.float32) * eff + bias, 0)
         return jnp.clip(jnp.round(y * 20.0), -127, 127).astype(jnp.int8)
 
-    def timed(one, n_iters):
-        @functools.partial(jax.jit, static_argnames=("it",))
+    def timed(one, n_iters, min_window: float = 0.25):
+        """Hardened per-iter time: dynamic trip count (one compile), window
+        auto-scaled to >= min_window s, median-of-3 deltas — small shapes
+        at ~3us/iter need thousands of iterations to dwarf the ~28ms
+        tunnel-RTT jitter (the round-1 fixed-16-iter windows mis-ranked
+        pallas-vs-xla winners at exactly those shapes)."""
+        @jax.jit
         def looped(xc, it):
             def body(i, carry):
                 out = one(carry)
-                return jnp.bitwise_xor(carry, out[:1, :1].reshape(1, 1))
+                return carry.at[0, 0].set(
+                    jnp.bitwise_xor(carry[0, 0], out[0, 0].astype(carry.dtype)))
 
             final = jax.lax.fori_loop(0, it, body, xc)
-            return jnp.sum(final.astype(jnp.int32))
+            return jnp.sum(final[0, :1].astype(jnp.int32))
 
-        float(jax.device_get(looped(x, 1)))
-        float(jax.device_get(looped(x, n_iters)))
-        t0 = time.perf_counter()
-        float(jax.device_get(looped(x, 1)))
-        t1 = time.perf_counter()
-        float(jax.device_get(looped(x, n_iters)))
-        t2 = time.perf_counter()
-        return max((t2 - t1) - (t1 - t0), 1e-9) / (n_iters - 1)
+        def t(it):
+            t0 = time.perf_counter()
+            float(jax.device_get(looped(x, jnp.int32(it))))
+            return time.perf_counter() - t0
+
+        t(1)
+        loop = max(n_iters, 16)
+        import numpy as _np
+        while True:
+            d = float(_np.median([t(1 + loop) - t(1) for _ in range(3)]))
+            if d >= min_window or loop >= 1 << 22:
+                break
+            loop = min(max(int(loop * min_window * 1.3 / max(d, 1e-4)) + 1,
+                           loop * 2), 1 << 22)
+        deltas = [t(1 + loop) - t(1) for _ in range(3)]
+        good = [v for v in deltas if v > min_window / 4] or deltas
+        return float(_np.median(good)) / loop
 
     t_pallas = timed(one_pallas, iters)
     t_xla = timed(one_xla, iters)
