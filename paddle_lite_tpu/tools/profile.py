@@ -149,7 +149,15 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
 
     def make_prefix(k: int):
         ops_k = order[:k]
-        last_outs = order[k - 1].output_names()
+        # the loop body must observe the prefix's full FRONTIER (every var
+        # produced but not consumed within the prefix), not just the last
+        # op's outputs: ops on parallel branches (or shape-only ops like
+        # prior_box) otherwise let XLA dead-code-eliminate the rest of the
+        # prefix and the cumulative time collapses
+        produced = [n for op in ops_k for n in op.output_names()]
+        consumed = {n for op in ops_k for n in op.input_names()}
+        frontier = [n for n in produced if n not in consumed] or \
+            order[k - 1].output_names()
 
         def sub(w, f):
             env = dict(w)
@@ -161,7 +169,7 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
                 for slot, arrs in outs.items():
                     for n, a in zip(op.outputs.get(slot, []), arrs):
                         env[n] = a
-            return {n: env[n] for n in last_outs}
+            return {n: env[n] for n in frontier}
 
         return sub
 
