@@ -61,12 +61,16 @@ def choose_kernel(graph, op) -> Optional[str]:
         return None
     if op.op_type == "depthwise_conv2d":
         from . import depthwise, tune_cache
+        from ..common import normalize_2d
 
         x = graph.vars[op.input("Input")]
         w = graph.vars[op.input("Filter")]
-        if depthwise.supported(op.attrs, x.shape, w.shape) \
+        if depthwise.supported_general(op.attrs, x.shape, w.shape) \
                 and not op.maybe_input("ResidualData"):
-            return tune_cache.lookup_dw(x.shape[1], x.shape[3]) or "xla"
+            k = w.shape[0]
+            stride = normalize_2d(op.attrs.get("strides", (1, 1)))[0]
+            return tune_cache.lookup_dw(
+                x.shape[1], x.shape[3], k, stride) or "xla"
         return None
     prob = _gemm_problem(graph, op)
     if prob is None:

@@ -110,8 +110,10 @@ def conv2d_pallas(ctx, op, ins):
 
 @OPS.kernel("depthwise_conv2d", "pallas")
 def depthwise_pallas(ctx, op, ins):
-    """3x3 stride-1 int8 depthwise via the Pallas VPU stencil kernel."""
+    """int8 depthwise (k in {3,5}, stride in {1,2}) via the Pallas VPU
+    stencil kernel (stride 2 through polyphase decomposition)."""
     from . import depthwise
+    from ..common import normalize_2d
 
     x = ins["Input"][0]
     w = ins["Filter"][0]
@@ -121,7 +123,7 @@ def depthwise_pallas(ctx, op, ins):
         x.dtype == jnp.int8
         and w.dtype == jnp.int8
         and residual is None
-        and depthwise.supported(op.attrs, x.shape, w.shape)
+        and depthwise.supported_general(op.attrs, x.shape, w.shape)
     )
     if not ok:
         from ..nn import conv2d_xla
@@ -130,8 +132,9 @@ def depthwise_pallas(ctx, op, ins):
     xq = ctx.var_quant(op.input("Input"))
     wq = ctx.var_quant(op.input("Filter"))
     eff = np.float32(xq.scale[0]) * wq.scale_array()
-    y = depthwise.dw_conv3x3s1_int8(
-        x, w, eff, bias,
+    stride = normalize_2d(op.attrs.get("strides", (1, 1)))[0]
+    y = depthwise.dw_conv_int8(
+        x, w, eff, bias, stride=stride,
         act=op.attrs.get("fuse_act"), act_attrs=op.attrs.get("act_attrs"),
         out_scale=op.attrs.get("out_scale"), interpret=_interp(ctx),
     )

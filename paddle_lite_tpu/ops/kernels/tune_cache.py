@@ -161,67 +161,79 @@ def tune_graph(graph, *, verbose: bool = False) -> Dict[str, str]:
     return results
 
 
-def _dw_key(h: int, c: int) -> str:
-    return f"dw3x3s1_{_bucket(h)}x{_bucket(c)}"
+def _dw_key(h: int, c: int, k: int = 3, s: int = 1) -> str:
+    return f"dw{k}x{k}s{s}_{_bucket(h)}x{_bucket(c)}"
 
 
-def lookup_dw(h: int, c: int) -> Optional[str]:
-    return _load().get(_dw_key(h, c))
+def lookup_dw(h: int, c: int, k: int = 3, s: int = 1) -> Optional[str]:
+    return _load().get(_dw_key(h, c, k, s))
 
 
-def measure_dw(batch: int, h: int, c: int, *, iters: int = 16,
-               verbose: bool = False) -> str:
-    """Time pallas-vs-xla int8 3x3s1 depthwise on the current device."""
+def measure_dw(batch: int, h: int, c: int, *, k: int = 3, s: int = 1,
+               iters: int = 16, verbose: bool = False) -> str:
+    """Time pallas-vs-xla int8 depthwise (k in {3,5}, stride in {1,2})."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from .depthwise import dw_conv3x3s1_int8
+    from .depthwise import dw_conv_int8
 
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.integers(-127, 128, (batch, h, h, c), dtype=np.int8))
-    w = jax.device_put(rng.integers(-127, 128, (3, 3, 1, c), dtype=np.int8))
+    w = jax.device_put(rng.integers(-127, 128, (k, k, 1, c), dtype=np.int8))
     eff = jnp.asarray(rng.uniform(1e-3, 2e-3, (c,)).astype(np.float32))
     bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
     interp = jax.default_backend() != "tpu"
+    pad = (k - 1) // 2
 
     def one_pallas(xc):
-        return dw_conv3x3s1_int8(xc, w, eff, bias, act="relu",
-                                 out_scale=0.05, interpret=interp)
+        return dw_conv_int8(xc, w, eff, bias, stride=s, act="relu",
+                            out_scale=0.05, interpret=interp)
 
     def one_xla(xc):
         acc = jax.lax.conv_general_dilated(
-            xc, w, (1, 1), ((1, 1), (1, 1)),
+            xc, w, (s, s), ((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c, preferred_element_type=jnp.int32)
         y = jnp.maximum(acc.astype(jnp.float32) * eff + bias, 0)
         return jnp.clip(jnp.round(y * 20.0), -127, 127).astype(jnp.int8)
 
-    def timed(one, n_iters):
-        @functools.partial(jax.jit, static_argnames=("it",))
+    def timed_dw(one, n_iters, min_window: float = 0.25):
+        @jax.jit
         def looped(xc, it):
             def body(i, carry):
                 out = one(carry)
-                return jnp.bitwise_xor(carry, out[:1, :1, :1, :1])
+                return carry.at[0, 0, 0, 0].set(jnp.bitwise_xor(
+                    carry[0, 0, 0, 0], out[0, 0, 0, 0].astype(carry.dtype)))
 
-            return jnp.sum(jax.lax.fori_loop(0, it, body, xc).astype(jnp.int32))
+            return jnp.sum(jax.lax.fori_loop(0, it, body, xc)[0, 0, 0, :1]
+                           .astype(jnp.int32))
 
-        float(jax.device_get(looped(x, 1)))
-        float(jax.device_get(looped(x, n_iters)))
-        t0 = time.perf_counter()
-        float(jax.device_get(looped(x, 1)))
-        t1 = time.perf_counter()
-        float(jax.device_get(looped(x, n_iters)))
-        t2 = time.perf_counter()
-        return max((t2 - t1) - (t1 - t0), 1e-9) / (n_iters - 1)
+        def t(it):
+            t0 = time.perf_counter()
+            float(jax.device_get(looped(x, jnp.int32(it))))
+            return time.perf_counter() - t0
 
-    t_pallas = timed(one_pallas, iters)
-    t_xla = timed(one_xla, iters)
+        t(1)
+        import numpy as _np
+        loop = max(n_iters, 16)
+        while True:
+            d = float(_np.median([t(1 + loop) - t(1) for _ in range(3)]))
+            if d >= min_window or loop >= 1 << 22:
+                break
+            loop = min(max(int(loop * min_window * 1.3 / max(d, 1e-4)) + 1,
+                           loop * 2), 1 << 22)
+        deltas = [t(1 + loop) - t(1) for _ in range(3)]
+        good = [v for v in deltas if v > min_window / 4] or deltas
+        return float(_np.median(good)) / loop
+
+    t_pallas = timed_dw(one_pallas, iters)
+    t_xla = timed_dw(one_xla, iters)
     winner = "pallas" if t_pallas < t_xla else "xla"
     if verbose:
-        bts = 2 * batch * h * h * c  # int8 in+out
-        print(f"dw ({batch},{h},{c}) pallas {t_pallas*1e6:.1f}us "
+        bts = batch * h * h * c * (1 + 1 / (s * s))  # int8 in+out
+        print(f"dw k{k}s{s} ({batch},{h},{c}) pallas {t_pallas*1e6:.1f}us "
               f"({bts/t_pallas/1e9:.0f}GB/s) xla {t_xla*1e6:.1f}us "
               f"({bts/t_xla/1e9:.0f}GB/s) -> {winner}", flush=True)
-    _store({_dw_key(h, c): winner})
+    _store({_dw_key(h, c, k, s): winner})
     return winner
