@@ -89,6 +89,23 @@ class Predictor:
     def __call__(self, inputs: Dict[str, Any]) -> Dict[str, Any]:
         return self.run(inputs)
 
+    def clone(self, config: Optional[PredictorConfig] = None) -> "Predictor":
+        """Weight-sharing clone — the reference's multi-threaded serving
+        pattern (``LightPredictor`` clones sharing one scope; one predictor
+        per thread, weights read-only). The clone shares the staged device
+        weights AND the compiled executable (jit cache keys on the traced
+        function identity), so a clone costs no HBM and no recompile; only
+        the config (e.g. validation) may differ."""
+        if self._weights_on_device is None:
+            self._weights_on_device = jax.device_put(self._weights)
+        c = Predictor.__new__(Predictor)
+        c.graph = self.graph
+        c.config = config or self.config
+        c._fn = self._fn
+        c._weights = self._weights
+        c._weights_on_device = self._weights_on_device
+        return c
+
     # ---- save/load -------------------------------------------------------
     def save(self, path: str) -> None:
         from ..formats import artifact

@@ -147,3 +147,34 @@ def test_model_specific_bucket_cap(tmp_path, rng):
         assert tuple(b2.config.buckets) == (1, 2, 4, 8, 16)
     finally:
         b2.close()
+
+
+def test_predictor_clone_shares_weights(rng):
+    """Predictor.clone: the reference's per-thread serving pattern — clones
+    share staged device weights (same buffers) and produce identical
+    outputs; run from multiple threads concurrently."""
+    import threading
+
+    from paddle_lite_tpu import GraphBuilder
+    from paddle_lite_tpu.runtime.predictor import Predictor
+
+    b = GraphBuilder("m", seed=3)
+    x = b.input("x", (2, 8))
+    y = b.fc(x, 4)
+    b.mark_output(y)
+    g = b.build()
+    p = Predictor(g)
+    feed = {"x": rng.normal(size=(2, 8)).astype(np.float32)}
+    ref = np.asarray(p.run(feed)[g.outputs[0]])
+    clones = [p.clone() for _ in range(4)]
+    # device weight buffers are literally shared
+    assert all(c._weights_on_device is p._weights_on_device for c in clones)
+
+    outs = [None] * 4
+    def work(i):
+        outs[i] = np.asarray(clones[i].run(feed)[g.outputs[0]])
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    for o in outs:
+        np.testing.assert_array_equal(o, ref)
