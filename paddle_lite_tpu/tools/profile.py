@@ -159,16 +159,23 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
         frontier = [n for n in produced if n not in consumed] or \
             order[k - 1].output_names()
 
+        def to_island(a):
+            # mirror build_callable's island cast: fp32 values run/store in
+            # the island dtype (weights were already staged bf16)
+            if island is not None and getattr(a, "dtype", None) == jnp.float32:
+                return a.astype(island)
+            return a
+
         def sub(w, f):
             env = dict(w)
             for name in graph.inputs:
-                env[name] = f[name]
+                env[name] = to_island(f[name])
             for op in ops_k:
                 impl = OPS.get(op.op_type).impl_for(op.attrs.get("kernel"))
                 outs = impl(ctx, op, _resolve_inputs(op, env))
                 for slot, arrs in outs.items():
                     for n, a in zip(op.outputs.get(slot, []), arrs):
-                        env[n] = a
+                        env[n] = to_island(a)
             return {n: env[n] for n in frontier}
 
         return sub
