@@ -147,16 +147,26 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
                            interpret=jax.default_backend() != "tpu",
                            island_dtype=island)
 
+    # last op index (1-based) consuming each var, for liveness at a prefix cut
+    last_use = {}
+    for idx, op_ in enumerate(order, 1):
+        for n in op_.input_names():
+            last_use[n] = idx
+    graph_outputs = set(graph.outputs)
+
     def make_prefix(k: int):
         ops_k = order[:k]
-        # the loop body must observe the prefix's full FRONTIER (every var
-        # produced but not consumed within the prefix), not just the last
-        # op's outputs: ops on parallel branches (or shape-only ops like
-        # prior_box) otherwise let XLA dead-code-eliminate the rest of the
-        # prefix and the cumulative time collapses
+        # the loop body must observe the prefix's LIVE frontier: every var
+        # produced inside that is still needed after the cut (consumed by a
+        # later op, or a graph output). Produced-but-unconsumed-in-prefix is
+        # NOT sufficient: a shape-only consumer like prior_box (whose
+        # outputs are data-independent constants) marks the backbone tap
+        # "consumed", XLA folds the prior_box outputs, and the entire conv
+        # chain dead-code-eliminates — the k=24 SSD prefix measured 0.002ms
+        # under the old rule.
         produced = [n for op in ops_k for n in op.output_names()]
-        consumed = {n for op in ops_k for n in op.input_names()}
-        frontier = [n for n in produced if n not in consumed] or \
+        frontier = [n for n in produced
+                    if n in graph_outputs or last_use.get(n, 0) > k] or \
             order[k - 1].output_names()
 
         def to_island(a):
@@ -208,7 +218,7 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
     results: List[dict] = []
     prev_cum = 0.0
     prev_k = 0
-    loop = 4096  # early prefixes are tiny; shrinks as prefixes grow
+    est_per_iter = 1e-6  # refined from each measured prefix
     for k in ks:
         looped = make_looped(make_prefix(k))
 
@@ -218,6 +228,18 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
             return time.perf_counter() - t0
 
         timed(1)  # compile (iters is dynamic: one compile per prefix)
+        # Size the window from an estimate of this prefix's per-iteration
+        # cost instead of growing a global loop count monotonically: a
+        # slow-model prefix at a stale large loop makes single device calls
+        # of tens of seconds (which once crashed the tunnel worker), while
+        # a cheap prefix at a small loop drowns in RTT jitter. Seed with
+        # the previous prefix's per-iter time (prefixes only grow), refine
+        # with one short probe, then let the while-loop grow it if the
+        # estimate was still low.
+        probe = max(min(int(0.1 / est_per_iter), 4096), 8)
+        d0 = max(timed(1 + probe) - timed(1), 1e-4)
+        est_per_iter = max(d0 / probe, 1e-7)
+        loop = min(max(int(min_window * 1.3 / est_per_iter) + 1, 8), 1 << 22)
         while True:
             d = float(np.median([timed(1 + loop) - timed(1)
                                  for _ in range(3)]))
@@ -228,6 +250,7 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
         deltas = [timed(1 + loop) - timed(1) for _ in range(reps)]
         good = [x for x in deltas if x > min_window / 4]
         dt = float(np.median(good or deltas)) / loop
+        est_per_iter = max(dt, 1e-7)  # seed for the next prefix's window
         row = {
             "op": order[k - 1].op_type,
             "id": order[k - 1].id,

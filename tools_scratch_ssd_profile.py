@@ -37,19 +37,45 @@ for i, op in enumerate(order, 1):
     if op.op_type in post or i % 12 == 0 or i == len(order):
         ks.append(i)
 ks = sorted(set(ks))
-print(f"{len(order)} ops, {len(ks)} prefixes", flush=True)
 
-out = open("/tmp/ssd_profile.jsonl", "w")
+# Resume-on-crash: the TPU worker died mid-profile once (a single >30s
+# device call over the tunnel — since fixed in latency_report's window
+# sizing); rows already in the jsonl are kept and their ks skipped.
+PATH = "/tmp/ssd_profile.jsonl"
+done = {}
+if os.path.exists(PATH):
+    with open(PATH) as f:
+        for line in f:
+            if line.strip():
+                row = json.loads(line)
+                done[row["k"]] = row
+missing = [k for k in ks if k not in done]
+print(f"{len(order)} ops, {len(ks)} prefixes ({len(missing)} to measure)",
+      flush=True)
+
+out = open(PATH, "a")
 
 
 def prog(row):
     out.write(json.dumps(row) + "\n")
     out.flush()
-    print(f"k={row['k']:>3} {row['op']:<16} n={row['n_ops']:>2} "
-          f"ms={row['ms']:.4f} cum={row['cum_ms']:.3f}", flush=True)
+    print(f"k={row['k']:>3} {row['op']:<16} ms={row['ms']:.4f} "
+          f"cum={row['cum_ms']:.3f}", flush=True)
 
 
-rows = latency_report(g, feed, ks=ks, min_window=0.3, progress=prog)
+if missing:
+    latency_report(g, feed, ks=missing, min_window=0.3, progress=prog)
 out.close()
+
+# merge: recompute per-region ms from cum_ms over the full sorted k set
+with open(PATH) as f:
+    done = {r["k"]: r for r in map(json.loads, f) if r}
+rows = [done[k] for k in sorted(done)]
+prev = 0.0
+for r in rows:
+    r["ms"] = max(r["cum_ms"] - prev, 0.0)
+    prev = r["cum_ms"]
+    print(f"k={r['k']:>3} {r['op']:<16} ms={r['ms']:.4f} "
+          f"cum={r['cum_ms']:.3f}")
 total = rows[-1]["cum_ms"]
 print(f"total {total:.3f} ms -> {BATCH / total * 1e3:.0f} img/s")
