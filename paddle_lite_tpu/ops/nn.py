@@ -117,6 +117,17 @@ def conv2d_xla(ctx, op, ins):
                and op.attrs.get("dw_compute") == "bf16")
     if dw_bf16:
         x, w = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    # XLA's CPU backend has no fast integer-conv path (measured ~55x slower
+    # than fp32 Eigen convs; int8 *dot* is fast via oneDNN, and im2col
+    # patches lower back to an int8 conv, so neither rescues it). On the
+    # CPU platform — the test/calibration vehicle, not a deployment target
+    # — compute int8 convs in fp32 and round: exact while |accum| < 2^24
+    # (always, for depthwise windows; in practice, for dense convs), the
+    # same float-accumulate ground-truth formulation the reference's own
+    # int8 conv tests used (SURVEY §4 naive_math_impl).
+    cpu_f32 = int8_path and not dw_bf16 and ctx.platform == "cpu"
+    if cpu_f32:
+        x, w = x.astype(jnp.float32), w.astype(jnp.float32)
     acc = jax.lax.conv_general_dilated(
         x,
         w,
@@ -125,15 +136,18 @@ def conv2d_xla(ctx, op, ins):
         rhs_dilation=dilations,
         dimension_numbers=CONV_DN,
         feature_group_count=groups,
-        preferred_element_type=jnp.int32 if (int8_path and not dw_bf16)
+        preferred_element_type=jnp.int32
+        if (int8_path and not dw_bf16 and not cpu_f32)
         else jnp.float32,
     )
+    if cpu_f32:
+        acc = jnp.round(acc)
     y = _conv_epilogue(
         ctx, op, acc,
         op.input("Input"), op.input("Filter"),
         bias, residual,
         op.maybe_input("ResidualData"),
-        int8_acc=dw_bf16,
+        int8_acc=dw_bf16 or cpu_f32,
     )
     return {"Output": [y]}
 

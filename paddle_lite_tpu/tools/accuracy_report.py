@@ -67,7 +67,7 @@ def build_imported(model: str, batch: int, image_size: int, seed: int):
 
 def accuracy_report(model: str, *, n_images: int = 1000, batch: int = 50,
                     image_size: int = 224, seed: int = 0,
-                    methods=("abs_max", "percentile", "kl"),
+                    methods=("abs_max", "percentile", "entropy"),
                     calib_batches: int = 4) -> dict:
     import torch
 
@@ -121,7 +121,9 @@ def accuracy_report(model: str, *, n_images: int = 1000, batch: int = 50,
 
     for method in methods:
         g8, _, _ = build_imported(model, batch, image_size, seed)
-        cfg = QuantConfig(method=CalibMethod(method))
+        # "kl" is the PaddleSlim/TensorRT name for the entropy method
+        cfg = QuantConfig(method=CalibMethod(
+            "entropy" if method == "kl" else method))
         optimize(g8, quant=cfg, calib_batches=calib)
         run_int8 = _compile(g8)
 
@@ -162,7 +164,7 @@ def main() -> None:
     p.add_argument("--n-images", type=int, default=1000)
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--image-size", type=int, default=224)
-    p.add_argument("--methods", default="abs_max,percentile,kl")
+    p.add_argument("--methods", default="abs_max,percentile,entropy")
     p.add_argument("--calib-batches", type=int, default=4)
     p.add_argument("--out", default=None)
     args = p.parse_args()
