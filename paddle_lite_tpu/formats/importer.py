@@ -109,7 +109,11 @@ def import_state_dict(graph: Graph, params: Dict[str, np.ndarray],
     """
     stream = _ParamStream(params)
     n0 = stream.pos
-    for op in graph.topological_order():
+    # creation order, NOT topological_order(): Kahn reshuffles parallel
+    # branches (e.g. a ResNet projection conv and main-path conv1 both
+    # become ready before their bns), while the builder/imported op list
+    # mirrors the source module registration order the param stream uses
+    for op in graph.ops:
         t = op.op_type
         if t in ("conv2d", "depthwise_conv2d", "conv2d_transpose"):
             w_name = op.input("Filter")

@@ -324,12 +324,33 @@ def multiclass_nms_shape(attrs, in_shapes):
     return [(n, keep, 6)]
 
 
+def _nms_merge(s_all, cand_all, *, background: int, keep_top_k: int):
+    """Cross-class merge for one image: zero the background class, flatten,
+    keep the global top keep_top_k as (keep_top_k, 6) rows
+    [label, score, x1, y1, x2, y2]; empty slots label = -1 (the fixed-shape
+    analog of the reference's LoD-ragged NMS output)."""
+    cls_ids = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 0)
+    valid = cls_ids != background
+    s_all = jnp.where(valid, s_all, 0.0)
+    s = s_all.reshape(-1)
+    b = cand_all.reshape(-1, 4)
+    l = cls_ids.astype(jnp.float32).reshape(-1)
+    k = min(keep_top_k, s.shape[0])
+    top_s, idx = jax.lax.top_k(s, k)
+    rows = jnp.concatenate(
+        [jnp.where(top_s > 0, l[idx], -1.0)[:, None], top_s[:, None],
+         b[idx]], axis=-1)
+    if k < keep_top_k:
+        pad = jnp.full((keep_top_k - k, 6), -1.0, jnp.float32)
+        pad = pad.at[:, 1:].set(0.0)
+        rows = jnp.concatenate([rows, pad], axis=0)
+    return rows
+
+
 @OPS.kernel("multiclass_nms", "xla")
 @OPS.kernel("multiclass_nms2", "xla")
 def multiclass_nms_xla(ctx, op, ins):
-    """Output per batch: (keep_top_k, 6) rows [label, score, x1, y1, x2, y2];
-    empty slots have label = -1 (the fixed-shape analog of the reference's
-    LoD-ragged NMS output)."""
+    """Output per batch: (keep_top_k, 6) rows — see _nms_merge."""
     boxes = ins["BBoxes"][0]  # (N, M, 4)
     scores = ins["Scores"][0]  # (N, M, C)
     attrs = op.attrs
@@ -351,24 +372,57 @@ def multiclass_nms_xla(ctx, op, ins):
             return s, cand
 
         s_all, cand_all = jax.vmap(one_class, in_axes=1)(sc)  # (C,k),(C,k,4)
-        cls_ids = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 0)
-        valid = cls_ids != background
-        s_all = jnp.where(valid, s_all, 0.0)
-        s = s_all.reshape(-1)
-        b = cand_all.reshape(-1, 4)
-        l = cls_ids.astype(jnp.float32).reshape(-1)
-        k = min(keep_top_k, s.shape[0])
-        top_s, idx = jax.lax.top_k(s, k)
-        rows = jnp.concatenate(
-            [jnp.where(top_s > 0, l[idx], -1.0)[:, None], top_s[:, None],
-             b[idx]], axis=-1)
-        if k < keep_top_k:
-            pad = jnp.full((keep_top_k - k, 6), -1.0, jnp.float32)
-            pad = pad.at[:, 1:].set(0.0)
-            rows = jnp.concatenate([rows, pad], axis=0)
-        return rows
+        return _nms_merge(s_all, cand_all, background=background,
+                          keep_top_k=keep_top_k)
 
     out = jax.vmap(per_image)(boxes, scores)
+    return {"Out": [out]}
+
+
+@OPS.kernel("multiclass_nms", "pallas")
+@OPS.kernel("multiclass_nms2", "pallas")
+def multiclass_nms_pallas(ctx, op, ins):
+    """Same contract as the xla kernel, with the per-(image, class) greedy
+    cores batched through ONE VMEM-resident Pallas kernel
+    (ops/kernels/nms.py). Measured on SSD-MobileNetV1 b32 the XLA fixed
+    point costs 7.6 ms of the 10.0 ms batch (HBM-resident (k,k) matrices);
+    the kernel keeps them in VMEM."""
+    from .kernels.nms import nms_keep_scores
+
+    boxes = ins["BBoxes"][0]  # (N, M, 4)
+    scores = ins["Scores"][0]  # (N, M, C)
+    attrs = op.attrs
+    iou_t = float(attrs.get("nms_threshold", 0.3))
+    score_t = float(attrs.get("score_threshold", 0.01))
+    nms_top_k = int(attrs.get("nms_top_k", 400))
+    keep_top_k = int(attrs.get("keep_top_k", 100))
+    background = int(attrs.get("background_label", 0))
+    approx = bool(attrs.get("approx_top_k", False))
+    n, m, c = scores.shape
+    k = min(nms_top_k, m)
+
+    boxes = boxes.astype(jnp.float32)
+    scores = scores.astype(jnp.float32)
+
+    def top_candidates(sc_col, bx):  # (M,), (M,4) -> (k,), (k,4)
+        if approx and k < m:
+            top_s, idx = jax.lax.approx_max_k(sc_col, k)
+        else:
+            top_s, idx = jax.lax.top_k(sc_col, k)
+        return top_s, bx[idx]
+
+    per_image = jax.vmap(top_candidates, in_axes=(1, None))  # over classes
+    top_s, cand = jax.vmap(per_image)(scores, boxes)  # (N,C,k), (N,C,k,4)
+
+    kept = nms_keep_scores(
+        cand.reshape(n * c, k, 4), top_s.reshape(n * c, k),
+        iou_t=iou_t, score_t=score_t,
+        interpret=ctx.interpret or ctx.platform != "tpu",
+    )  # (N*C, k)
+
+    merge = jax.vmap(lambda s_all, cand_all: _nms_merge(
+        s_all, cand_all, background=background, keep_top_k=keep_top_k))
+    out = merge(kept.reshape(n, c, k), cand)
     return {"Out": [out]}
 
 

@@ -57,6 +57,12 @@ def choose_kernel(graph, op) -> Optional[str]:
     current Pallas kernel at most model shapes, so an unmeasured default of
     'pallas' costs real throughput — the conservative default is 'xla'.)
     """
+    if op.op_type.startswith("multiclass_nms"):
+        # VMEM-resident NMS (ops/kernels/nms.py): the XLA fixed point keeps
+        # the (k,k) IoU/suppression matrices in HBM and re-reads them every
+        # Jacobi round — measured 7.6ms of the 10.0ms SSD-MobileNetV1 b32
+        # batch. Not int8-gated: NMS runs in the fp island either way.
+        return "pallas"
     if not op.attrs.get("enable_int8"):
         return None
     if op.op_type == "depthwise_conv2d":

@@ -291,6 +291,18 @@ def interp_xla(ctx, op, ins):
             + g(y1, x1) * wy * wx
         )
         return {"Out": [out]}
+    ih, iw = x.shape[1], x.shape[2]
+    if (method == "nearest" and not op.attrs.get("align_corners", False)
+            and oh % ih == 0 and ow % iw == 0):
+        # Integer-factor nearest upsample == broadcast + reshape (out pixel
+        # i reads in pixel floor(i/f) for align_corners=False — same map as
+        # jax.image.resize/paddle). The gather-based resize lowering
+        # measured ~4x off memory roofline at DBNet's FPN shapes; the
+        # broadcast form is pure data movement XLA fuses with neighbors.
+        fh, fw = oh // ih, ow // iw
+        out = jnp.broadcast_to(x[:, :, None, :, None, :],
+                               (x.shape[0], ih, fh, iw, fw, x.shape[3]))
+        return {"Out": [out.reshape(x.shape[0], oh, ow, x.shape[3])]}
     out = jax.image.resize(x, (x.shape[0], oh, ow, x.shape[3]), method=method)
     return {"Out": [out]}
 

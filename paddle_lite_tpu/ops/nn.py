@@ -183,8 +183,28 @@ def conv2d_transpose_xla(ctx, op, ins):
     if x.dtype != w.dtype:  # bf16-island operand meets a dequantized fp32 one
         common = jnp.promote_types(x.dtype, w.dtype)
         x, w = x.astype(common), w.astype(common)
-    # gradient-style transposed conv: lhs_dilation = stride
     kh, kw = w.shape[0], w.shape[1]
+    groups = int(attrs.get("groups", 1))
+    if (sh == kh and sw == kw and dh == dw == 1 and groups == 1
+            and ph0 == ph1 == pw0 == pw1 == 0 and oph == opw == 0):
+        # Non-overlapping deconv (kernel == stride, e.g. the DBNet head's
+        # 2x2s2 upsamples): every input pixel independently emits a
+        # (kh, kw) output block, so the op is exactly ONE (N*H*W, Ci) @
+        # (Ci, kh*kw*Co) GEMM followed by depth-to-space. XLA's generic
+        # lhs_dilation lowering measured ~14x off roofline at DBNet shapes
+        # (0.86 ms for a 0.06 ms-roofline op, tools_scratch_dbnet_bf16
+        # probe); the MXU GEMM form is roofline-shaped.
+        n, h, wd, ci = x.shape
+        co = w.shape[3]
+        wm = w.transpose(2, 0, 1, 3).reshape(ci, kh * kw * co)
+        acc = jax.lax.dot(x.reshape(n * h * wd, ci), wm,
+                          preferred_element_type=jnp.float32)
+        acc = acc.reshape(n, h, wd, kh, kw, co)
+        acc = acc.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * kh, wd * kw, co)
+        y = _conv_epilogue(ctx, op, acc, op.input("Input"),
+                           op.input("Filter"), bias, None, None)
+        return {"Output": [y]}
+    # gradient-style transposed conv: lhs_dilation = stride
     pad_h = (dh * (kh - 1) - ph0, dh * (kh - 1) - ph1 + oph)
     pad_w = (dw * (kw - 1) - pw0, dw * (kw - 1) - pw1 + opw)
     # filter stored (kh, kw, in_c, out_c): spatial flip only — the gradient-

@@ -183,3 +183,66 @@ def test_dw_general_kernel_matches_xla(rng):
             jnp.asarray(x), jnp.asarray(w), eff, bias, stride=s, act="relu",
             interpret=True))
         np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_nms_kernel_matches_greedy_and_xla(rng):
+    """Pallas VMEM NMS core vs (a) the sequential greedy numpy reference and
+    (b) the XLA Jacobi fixed point — exact keep-set + score parity."""
+    import jax.numpy as jnp
+
+    from paddle_lite_tpu.ops.detection import _nms_single_class
+    from paddle_lite_tpu.ops.kernels.nms import (nms_keep_scores,
+                                                 nms_reference)
+
+    G, K = 5, 96
+    centers = rng.uniform(0.1, 0.9, (G, K, 2))
+    wh = rng.uniform(0.02, 0.35, (G, K, 2))
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
+                           -1).astype(np.float32)
+    scores = np.sort(rng.uniform(0, 1, (G, K)).astype(np.float32))[:, ::-1]
+    scores = scores.copy()
+    scores[:, K // 2:] *= 0.005  # half below the score threshold
+
+    got = np.asarray(nms_keep_scores(jnp.asarray(boxes), jnp.asarray(scores),
+                                     iou_t=0.45, score_t=0.01,
+                                     interpret=True))
+    ref = nms_reference(boxes, scores, iou_t=0.45, score_t=0.01)
+    assert ((got > 0) == (ref > 0)).all()
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    for gi in range(G):
+        s_xla, _, _ = _nms_single_class(jnp.asarray(boxes[gi]),
+                                        jnp.asarray(scores[gi]), 0.45, 0.01,
+                                        K)
+        np.testing.assert_array_equal(np.asarray(s_xla), got[gi])
+
+
+def test_multiclass_nms_pallas_matches_xla_op(rng):
+    """Full multiclass_nms op: pallas kernel output == xla kernel output
+    (both exact/approx candidate selection)."""
+    import jax.numpy as jnp
+
+    from paddle_lite_tpu.core.executor import ExecutionContext
+    from paddle_lite_tpu.ops.detection import (multiclass_nms_pallas,
+                                               multiclass_nms_xla)
+
+    class Op:
+        op_type = "multiclass_nms"
+        attrs = {"background_label": 0, "score_threshold": 0.01,
+                 "nms_top_k": 40, "nms_threshold": 0.45, "keep_top_k": 20}
+
+        def input(self, s):
+            return s
+
+    N, M, C = 3, 160, 6
+    centers = rng.uniform(0.1, 0.9, (N, M, 2))
+    wh = rng.uniform(0.02, 0.3, (N, M, 2))
+    boxes = jnp.asarray(np.concatenate([centers - wh / 2, centers + wh / 2],
+                                       -1), jnp.float32)
+    scores = jnp.asarray(rng.dirichlet(np.ones(C) * 0.2, (N, M)), jnp.float32)
+    ins = {"BBoxes": [boxes], "Scores": [scores]}
+    ctx = ExecutionContext(graph=None, platform="cpu", interpret=True)
+    for approx in (False, True):
+        Op.attrs = dict(Op.attrs, approx_top_k=approx)
+        a = multiclass_nms_xla(ctx, Op(), ins)["Out"][0]
+        b = multiclass_nms_pallas(ctx, Op(), ins)["Out"][0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
