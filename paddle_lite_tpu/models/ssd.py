@@ -110,10 +110,16 @@ def build(batch: int = 1, image_size: int = 300, num_classes: int = 21,
         {"BBoxes": [decoded], "Scores": [scores]},
         attrs={"background_label": 0, "score_threshold": 0.01,
                "nms_top_k": 400, "nms_threshold": 0.45, "keep_top_k": 100,
-               # approx candidate top-k: the exact top_k lowers to a full
-               # 8732-element sort per (image, class); recall-0.95 bucketed
-               # selection leaves detections unchanged in practice
-               "approx_top_k": True},
+               # candidate selection level (measured b32 int8, v5e):
+               #   False  = exact per-class top_k          4012 img/s
+               #   True   = approx_max_k (detection-identical on this
+               #            model)                         4139 img/s
+               #   bucket = 512-bucket spatial max         5307 img/s,
+               #            reproduces 94% of exact detections on
+               #            random-weight worst case (near-tie scores);
+               #            same-location bucket losers are boxes NMS
+               #            suppresses anyway
+               "approx_top_k": "bucket"},
         shape_args=[decoded, scores],
     )[0]
     b.mark_output(out)

@@ -397,22 +397,55 @@ def multiclass_nms_pallas(ctx, op, ins):
     nms_top_k = int(attrs.get("nms_top_k", 400))
     keep_top_k = int(attrs.get("keep_top_k", 100))
     background = int(attrs.get("background_label", 0))
-    approx = bool(attrs.get("approx_top_k", False))
+    # candidate selection level: False = exact top_k; True = approx_max_k
+    # (recall ~0.95+, measured detection-identical on the zoo models);
+    # "bucket" = 512-bucket spatial max (fastest — see below; documented
+    # recall trade-off in docs/PARITY and the model attr)
+    approx = attrs.get("approx_top_k", False)
     n, m, c = scores.shape
     k = min(nms_top_k, m)
 
     boxes = boxes.astype(jnp.float32)
     scores = scores.astype(jnp.float32)
 
-    def top_candidates(sc_col, bx):  # (M,), (M,4) -> (k,), (k,4)
-        if approx and k < m:
-            top_s, idx = jax.lax.approx_max_k(sc_col, k)
-        else:
-            top_s, idx = jax.lax.top_k(sc_col, k)
-        return top_s, bx[idx]
+    loc = int(attrs.get("bucket_candidates", 512))
+    if approx == "bucket" and m > loc:
+        # Bucket-max candidate selection: 512 buckets of adjacent priors,
+        # keep each bucket's max (score + its box via an in-bucket one-hot
+        # reduction — no gather: TPU row-gathers measured 1.9 ms at SSD
+        # shapes vs ~0.1 ms for the dense reduction, and approx_max_k's
+        # index extraction alone cost 4.1 ms). Priors are spatially
+        # ordered, so bucket losers are same-location boxes NMS would
+        # suppress anyway — the same rationale as the approx_max_k
+        # selection this replaces, one step coarser. The NMS kernel takes
+        # candidates UNSORTED (score-comparison precedence). Bucket count
+        # (attr "bucket_candidates", default 512) trades recall for kernel
+        # cost — the IoU build scales with loc^2.
+        bs = -(-m // loc)
+        pad = loc * bs - m
+        sc_t = scores.transpose(0, 2, 1)  # (N, C, M)
+        if pad:
+            sc_t = jnp.pad(sc_t, ((0, 0), (0, 0), (0, pad)),
+                           constant_values=-1e30)
+        sc_b = sc_t.reshape(n, c, loc, bs)
+        top_s = sc_b.max(axis=-1)                        # (N, C, loc)
+        sel = (sc_b == top_s[..., None])                 # first-max one-hot
+        first = jnp.cumsum(sel, axis=-1) == 1
+        onehot = (sel & first).astype(jnp.float32)       # (N, C, loc, bs)
+        bx_pad = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0))) if pad else boxes
+        bx_b = bx_pad.reshape(n, 1, loc, bs, 4)
+        cand = jnp.sum(onehot[..., None] * bx_b, axis=3)  # (N, C, loc, 4)
+        k = loc
+    else:
+        def top_candidates(sc_col, bx):  # (M,), (M,4) -> (k,), (k,4)
+            if approx and k < m:
+                top_s, idx = jax.lax.approx_max_k(sc_col, k)
+            else:
+                top_s, idx = jax.lax.top_k(sc_col, k)
+            return top_s, bx[idx]
 
-    per_image = jax.vmap(top_candidates, in_axes=(1, None))  # over classes
-    top_s, cand = jax.vmap(per_image)(scores, boxes)  # (N,C,k), (N,C,k,4)
+        per_image = jax.vmap(top_candidates, in_axes=(1, None))  # classes
+        top_s, cand = jax.vmap(per_image)(scores, boxes)  # (N,C,k),(N,C,k,4)
 
     kept = nms_keep_scores(
         cand.reshape(n * c, k, 4), top_s.reshape(n * c, k),

@@ -36,11 +36,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _nms_kernel(b_ref, s_ref, o_ref, *, iou_t: float, score_t: float, k: int):
-    b = b_ref[0]          # (k, 4) f32 candidate boxes, score-descending
-    s = s_ref[0]          # (1, k) f32 candidate scores (descending);
-    #                       scores ride a (G, 1, k) layout so the block's
-    #                       last two dims equal the array's (Mosaic rule)
+def _nms_kernel(b_ref, s_ref, sc_ref, o_ref, *, iou_t: float, score_t: float,
+                k: int):
+    b = b_ref[0]          # (k, 4) f32 candidate boxes (any order)
+    s = s_ref[0]          # (1, k) f32 candidate scores; the (G, 1, k) and
+    s_col = sc_ref[0]     # (k, 1) f32 duplicate — row and column layouts
+    #                       both ride shapes whose last two block dims equal
+    #                       the array's (Mosaic rule), and having both
+    #                       avoids an in-kernel (1,k)->(k,1) relayout
 
     x1c, y1c = b[:, 0:1], b[:, 1:2]          # (k, 1)
     x2c, y2c = b[:, 2:3], b[:, 3:4]
@@ -56,15 +59,18 @@ def _nms_kernel(b_ref, s_ref, o_ref, *, iou_t: float, score_t: float, k: int):
     iy = jnp.maximum(jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r), 0.0)
     inter = ix * iy                           # (k, k)
     union = areac + arear - inter
-    # U[j, i] = "j would suppress i": j < i means score_j >= score_i (the
-    # candidates are score-descending), so the suppressor mask is the
-    # strict UPPER triangle (row j, col i; IoU symmetric). The fixed point
-    # runs entirely on (1, k) ROW vectors — Mosaic's vector lowering has no
-    # lane-broadcast for (k, 1) columns inside while bodies — with each
-    # round one (1,k)@(k,k) vec-mat product on the MXU.
+    # U[j, i] = "j would suppress i": greedy precedence is higher score
+    # first, ties broken by lower slot index. Deriving precedence from the
+    # score comparison (rather than assuming score-descending input and
+    # using the iota triangle alone) lets candidates arrive UNSORTED — for
+    # sorted input the matrix is identical to the strict upper triangle.
+    # The fixed point runs entirely on (1, k) ROW vectors — Mosaic's vector
+    # lowering has no lane-broadcast for (k, 1) columns inside while bodies
+    # — with each round one (1,k)@(k,k) vec-mat product on the MXU.
     jlt = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
            < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
-    sup = jnp.where(jlt & (inter > iou_t * union), 1.0, 0.0)  # (k, k) f32
+    prec = (s_col > s) | ((s_col == s) & jlt)     # (k, k): row j beats col i
+    sup = jnp.where(prec & (inter > iou_t * union), 1.0, 0.0)  # (k, k) f32
 
     valid = (s > score_t).astype(jnp.float32)   # (1, k)
 
@@ -89,14 +95,15 @@ def nms_keep_scores(cand_boxes, cand_scores, *, iou_t: float, score_t: float,
                     interpret: bool = False):
     """Batched greedy-NMS cores.
 
-    cand_boxes: (G, k, 4) f32, per-instance candidates sorted by descending
-    score; cand_scores: (G, k) f32. Returns (G, k) f32 scores with
-    suppressed/invalid entries zeroed — same contract as
-    ops/detection._nms_single_class.
+    cand_boxes: (G, k, 4) f32 per-instance candidates in ANY order (greedy
+    precedence is by score, ties by slot index — for score-descending input
+    this matches _nms_single_class exactly); cand_scores: (G, k) f32.
+    Returns (G, k) f32 scores with suppressed/invalid entries zeroed.
     """
     from jax.experimental import pallas as pl
 
     g, k, _ = cand_boxes.shape
+    scores_f = cand_scores.astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_nms_kernel, iou_t=float(iou_t),
                           score_t=float(score_t), k=k),
@@ -104,12 +111,13 @@ def nms_keep_scores(cand_boxes, cand_scores, *, iou_t: float, score_t: float,
         in_specs=[
             pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, 1, k), jnp.float32),
         interpret=interpret,
     )(cand_boxes.astype(jnp.float32),
-      cand_scores.astype(jnp.float32).reshape(g, 1, k))
+      scores_f.reshape(g, 1, k), scores_f.reshape(g, k, 1))
     return out.reshape(g, k)
 
 
@@ -123,7 +131,8 @@ def nms_reference(cand_boxes, cand_scores, *, iou_t, score_t):
         area = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(
             b[:, 3] - b[:, 1], 0)
         kept = []
-        for i in range(k):
+        # greedy order: score-descending, ties by slot index (stable sort)
+        for i in np.argsort(-s, kind="stable"):
             if s[i] <= score_t:
                 continue
             ok = True

@@ -27,30 +27,33 @@ rng = np.random.default_rng(0)
 feed = {"image": rng.normal(size=(BATCH, 300, 300, 3)).astype(np.float32)}
 
 
-def set_nms_kernel(g, kernel):
+def set_nms(g, kernel, approx):
     for op in g.ops:
         if op.op_type.startswith("multiclass_nms"):
             op.attrs["kernel"] = kernel
+            op.attrs["approx_top_k"] = approx
 
 
-def build_int8(nms_kernel):
+def build_int8(nms_kernel, approx=True):
     g = ssd.build(batch=BATCH)
     optimize(g, quant=QuantConfig(island_dtype="bfloat16"),
              calib_batches=[feed])
-    set_nms_kernel(g, nms_kernel)
+    set_nms(g, nms_kernel, approx)
     return g
 
 
-def build_fp32(nms_kernel):
+def build_fp32(nms_kernel, approx=True):
     g = optimize(ssd.build(batch=BATCH))
-    set_nms_kernel(g, nms_kernel)
+    set_nms(g, nms_kernel, approx)
     return g
 
 
 rows = []
-for name, build in [("int8_nms_xla", lambda: build_int8("xla")),
-                    ("int8_nms_pallas", lambda: build_int8("pallas")),
-                    ("fp32_nms_pallas", lambda: build_fp32("pallas"))]:
+for name, build in [
+        ("int8_nms_pallas_bucket", lambda: build_int8("pallas", "bucket")),
+        ("fp32_nms_pallas_bucket", lambda: build_fp32("pallas", "bucket")),
+        ("int8_nms_pallas_approx", lambda: build_int8("pallas", True)),
+        ("int8_nms_pallas_exact", lambda: build_int8("pallas", False))]:
     ips = device_throughput(build(), dict(feed))
     rows.append({"variant": name, "img_per_sec": round(ips, 1)})
     print(json.dumps(rows[-1]), flush=True)
