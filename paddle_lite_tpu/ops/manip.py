@@ -263,6 +263,12 @@ def _interp_shape(attrs, in_shapes):
 OPS.register("bilinear_interp", infer_shape=_interp_shape)
 OPS.register("nearest_interp", infer_shape=_interp_shape)
 
+# Integer-factor nearest upsample as broadcast+reshape instead of
+# jax.image.resize's gather. Standalone/prefix profiling showed the gather
+# ~4x off roofline; flag kept for in-model A/B (standalone wins can regress
+# under fusion — see BASELINE.md autotuning-methodology note).
+NEAREST_UPSAMPLE_BROADCAST = True
+
 
 @OPS.kernel("bilinear_interp", "xla")
 @OPS.kernel("nearest_interp", "xla")
@@ -292,7 +298,8 @@ def interp_xla(ctx, op, ins):
         )
         return {"Out": [out]}
     ih, iw = x.shape[1], x.shape[2]
-    if (method == "nearest" and not op.attrs.get("align_corners", False)
+    if (NEAREST_UPSAMPLE_BROADCAST and method == "nearest"
+            and not op.attrs.get("align_corners", False)
             and oh % ih == 0 and ow % iw == 0):
         # Integer-factor nearest upsample == broadcast + reshape (out pixel
         # i reads in pixel floor(i/f) for align_corners=False — same map as
