@@ -74,7 +74,13 @@ def main() -> None:
                     op.attrs["kernel"] = "xla"
         int8_variants[plan] = _device_throughput(g8)
 
-    int8_ips = max(int8_variants.values())
+    # the headline is the DEFAULT plan — what optimize() actually emits for a
+    # user — not the max over variants (BENCH_r02's auto plan silently ran
+    # 40% below the reported number; never again).  The guard flag trips if
+    # the default plan falls >5% below the best variant so CI catches any
+    # future autotune-table regression on the product path.
+    int8_ips = int8_variants["auto"]
+    best = max(int8_variants.values())
     print(json.dumps({
         "metric": "mobilenetv1_int8_images_per_sec_per_chip",
         "value": round(int8_ips, 1),
@@ -84,9 +90,17 @@ def main() -> None:
             "batch": BATCH,
             "fp32_images_per_sec": round(fp32_ips, 1),
             "int8_variants": {k: round(v, 1) for k, v in int8_variants.items()},
+            "default_plan_ok": bool(int8_ips >= 0.95 * best),
             "device": str(jax.devices()[0]),
         },
     }))
+    if int8_ips < 0.95 * best:
+        # warn here; ci.sh --bench turns default_plan_ok=false into a failure
+        import sys
+        print(f"PLAN REGRESSION: default plan {int8_ips:.0f} img/s is >5% "
+              f"below best variant {best:.0f} — re-run "
+              f"`cli tune --validate` to repair .autotune/gemm.json",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,16 @@ EOF
 
 if [[ "${1:-}" == "--bench" ]]; then
     echo "== headline benchmark (TPU) =="
-    python bench.py
+    python bench.py | tee /tmp/bench_out.json
+    # the default kernel plan must be within 5% of the best variant —
+    # an autotune-table entry that regresses the product path fails CI
+    python - <<'EOF'
+import json
+line = [l for l in open("/tmp/bench_out.json") if l.strip().startswith("{")][-1]
+detail = json.loads(line)["detail"]
+assert detail["default_plan_ok"], (
+    f"default kernel plan regresses the flagship: {detail['int8_variants']}")
+print("  default-plan guard OK")
+EOF
 fi
 echo "CI OK"

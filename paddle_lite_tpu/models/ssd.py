@@ -116,10 +116,13 @@ def build(batch: int = 1, image_size: int = 300, num_classes: int = 21,
                #            model)                         4139 img/s
                #   bucket = 512-bucket spatial max         5307 img/s,
                #            reproduces 94% of exact detections on
-               #            random-weight worst case (near-tie scores);
-               #            same-location bucket losers are boxes NMS
-               #            suppresses anyway
-               "approx_top_k": "bucket"},
+               #            random-weight worst case (near-tie scores)
+               # Default is the detection-identical tier: a default must
+               # not silently drop detections.  Opt into "bucket" (+28%)
+               # only after docs/ACCURACY.md's detection-match harness
+               # bounds the loss for YOUR weights (see accuracy_report
+               # --model ssd which measures bucket@512/256 vs exact).
+               "approx_top_k": True},
         shape_args=[decoded, scores],
     )[0]
     b.mark_output(out)

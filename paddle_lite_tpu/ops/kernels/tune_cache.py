@@ -8,8 +8,19 @@ backend makes naive timing meaningless, see bench.py) and persists the
 winner, keyed by shape bucket, in a JSON cache.  ``kernel_pick`` consults
 :func:`lookup_gemm`; unmeasured shapes default to XLA.
 
-Run ``python -m paddle_lite_tpu.tools.tune`` to populate the cache for a
-model's shapes ahead of deployment (the opt-tool analog of a tuning pass).
+Run ``python -m paddle_lite_tpu.tools.cli tune --model <m> --validate`` to
+populate the cache for a model's shapes ahead of deployment (the opt-tool
+analog of a tuning pass).
+
+Standalone wins are NOT trusted as-is: a Pallas call is a fusion barrier XLA
+cannot see through, so a kernel that wins per-op can lose in-model (measured:
+the MobileNetV1 first pointwise conv bucket won standalone by 15% and cost
+the whole model 40% — BENCH_r02).  :func:`validate_in_model` A/Bs every
+Pallas table pick inside the WHOLE jitted model and demotes entries that do
+not win end-to-end — the analog of the reference validating its per-SoC
+tables against whole-model benchmarks before shipping
+(lite/core/mir/static_kernel_pick_pass.cc picks the fastest kernel in the
+real program, not in isolation).
 """
 
 from __future__ import annotations
@@ -159,6 +170,74 @@ def tune_graph(graph, *, verbose: bool = False) -> Dict[str, str]:
         seen.add(key)
         results[key] = measure_gemm(*prob, verbose=verbose)
     return results
+
+
+def _op_table_key(graph, op) -> Optional[str]:
+    """The autotune-table key this op's kernel pick is governed by, or None
+    for ops whose pick is not table-driven (e.g. the NMS Pallas kernel)."""
+    from .autotune import _gemm_problem
+
+    if op.op_type == "depthwise_conv2d":
+        x = graph.vars[op.input("Input")]
+        w = graph.vars[op.input("Filter")]
+        from ..common import normalize_2d
+
+        s = normalize_2d(op.attrs.get("strides", (1, 1)))[0]
+        return _dw_key(x.shape[1], x.shape[3], w.shape[0], s)
+    prob = _gemm_problem(graph, op)
+    return _key(*prob) if prob else None
+
+
+def validate_in_model(graph, feed, *, min_win: float = 1.01,
+                      persist: bool = True, verbose: bool = False,
+                      measure=None) -> Dict[str, str]:
+    """End-to-end A/B of every Pallas table pick inside the whole model.
+
+    ``graph`` must already be optimized (kernel_pick applied).  For each
+    table bucket the pick routed to Pallas, the FULL jitted model is
+    re-measured with that bucket demoted to XLA (greedy, one bucket at a
+    time, keeping improvements).  Pallas survives only if the whole model is
+    ``min_win``× faster with it — ties go to XLA, the fusion-friendly
+    default.  Demotions are persisted to the table so ``optimize()`` emits
+    the fast plan by default.  Returns {bucket_key: final_winner} for every
+    Pallas bucket examined.
+    """
+    if measure is None:
+        from ...tools.benchmark import device_throughput as measure
+
+    groups: Dict[str, list] = {}
+    for op in graph.ops:
+        if op.attrs.get("kernel") != "pallas":
+            continue
+        key = _op_table_key(graph, op)
+        if key is not None:
+            groups.setdefault(key, []).append(op)
+    if not groups:
+        return {}
+
+    best = measure(graph, feed)
+    if verbose:
+        print(f"in-model baseline (auto plan): {best:.1f} items/s", flush=True)
+    decisions: Dict[str, str] = {}
+    for key in sorted(groups):
+        ops = groups[key]
+        for op in ops:
+            op.attrs["kernel"] = "xla"
+        demoted = measure(graph, feed)
+        if best > demoted * min_win:
+            # pallas wins end-to-end by the required margin: restore it
+            for op in ops:
+                op.attrs["kernel"] = "pallas"
+            decisions[key] = "pallas"
+        else:
+            decisions[key] = "xla"
+            best = max(best, demoted)
+        if verbose:
+            print(f"  {key}: xla-demoted {demoted:.1f} items/s "
+                  f"-> keep {decisions[key]}", flush=True)
+    if persist:
+        _store(decisions)
+    return decisions
 
 
 def _dw_key(h: int, c: int, k: int = 3, s: int = 1) -> str:

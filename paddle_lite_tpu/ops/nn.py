@@ -192,7 +192,7 @@ def conv2d_transpose_xla(ctx, op, ins):
         # (kh, kw) output block, so the op is exactly ONE (N*H*W, Ci) @
         # (Ci, kh*kw*Co) GEMM followed by depth-to-space. XLA's generic
         # lhs_dilation lowering measured ~14x off roofline at DBNet shapes
-        # (0.86 ms for a 0.06 ms-roofline op, tools_scratch_dbnet_bf16
+        # (0.86 ms for a 0.06 ms-roofline op, tools/studies/dbnet_bf16.py
         # probe); the MXU GEMM form is roofline-shaped.
         n, h, wd, ci = x.shape
         co = w.shape[3]

@@ -101,11 +101,25 @@ def cmd_tune(args) -> None:
 
     g = _build_model(args.model, batch=args.batch, image_size=args.image_size)
     rng = np.random.default_rng(0)
-    shape = tuple(g.vars[g.inputs[0]].shape)
-    optimize(g, quant=QuantConfig(), calib_batches=[
-        {g.inputs[0]: rng.normal(size=shape).astype(np.float32)}
-    ])
+    feed = {}
+    for name in g.inputs:
+        shape = tuple(g.vars[name].shape)
+        dt = g.vars[name].precision.np_dtype
+        feed[name] = (rng.integers(0, 100, shape).astype(dt)
+                      if np.issubdtype(dt, np.integer)
+                      else rng.normal(size=shape).astype(dt))
+    optimize(g, quant=QuantConfig(), calib_batches=[feed])
     results = tune_cache.tune_graph(g, verbose=True)
+    if args.validate:
+        # standalone winners are candidates only: re-pick with the fresh
+        # table, then A/B each Pallas bucket inside the whole jitted model
+        # and demote anything that doesn't win end-to-end (BENCH_r02 lesson)
+        for op in g.ops:
+            from paddle_lite_tpu.ops.kernels import autotune
+            choice = autotune.choose_kernel(g, op)
+            if choice:
+                op.attrs["kernel"] = choice
+        results.update(tune_cache.validate_in_model(g, feed, verbose=True))
     print(json.dumps(results))
 
 
@@ -167,6 +181,10 @@ def main(argv=None) -> None:
     t.add_argument("--model", required=True)
     t.add_argument("--batch", type=int, default=8)
     t.add_argument("--image-size", type=int, default=224)
+    t.add_argument("--validate", action="store_true",
+                   help="A/B each Pallas pick inside the whole model and "
+                        "demote standalone-only winners (required before "
+                        "shipping a table)")
     t.set_defaults(fn=cmd_tune)
 
     args = p.parse_args(argv)

@@ -69,6 +69,19 @@ def optimize(
             graph.meta["island_dtype"] = quant.island_dtype
         return graph
     if quant is not None:
+        from ..core.types import CalibMethod
+
+        if quant.method is CalibMethod.ENTROPY:
+            # measured on both full-scale zoo models: KL picks clipped
+            # ranges that hurt (worst-layer cosine 0.84 MNv1 / 0.69 R50,
+            # R50 top-1 agreement 97.8% vs 99.9% abs-max — docs/ACCURACY.md).
+            # Available for parity with PaddleSlim, never the default.
+            import warnings
+
+            warnings.warn(
+                "CalibMethod.ENTROPY (KL) measurably degrades accuracy on "
+                "the measured zoo models (docs/ACCURACY.md); abs_max is the "
+                "validated default", stacklevel=2)
         if calib_result is None:
             if calib_batches is None:
                 raise ValueError("PTQ needs calib_batches or calib_result")

@@ -180,3 +180,35 @@ def test_bf16_island_dtype(rng):
     from paddle_lite_tpu.formats.artifact import graph_from_meta, graph_to_meta
     g2 = graph_from_meta(graph_to_meta(g))
     assert g2.meta["island_dtype"] == "bfloat16"
+
+
+def test_kl_calibration_not_default_and_warns(rng):
+    """Pin: abs_max is the default calibration; KL/entropy stays available
+    (PaddleSlim parity) but warns — it measurably degrades accuracy on the
+    measured zoo models (docs/ACCURACY.md)."""
+    import warnings
+
+    from paddle_lite_tpu import GraphBuilder, QuantConfig
+    from paddle_lite_tpu.core.types import CalibMethod
+    from paddle_lite_tpu.tools.opt import optimize
+
+    assert QuantConfig().method is CalibMethod.ABS_MAX
+
+    def build():
+        b = GraphBuilder("t", seed=3)
+        x = b.input("x", (2, 8, 8, 16))
+        y = b.conv_bn_act(x, 32, 1, act="relu")
+        b.mark_output(y)
+        return b.build()
+
+    feed = {"x": rng.normal(size=(2, 8, 8, 16)).astype(np.float32)}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        optimize(build(), quant=QuantConfig(method=CalibMethod.ENTROPY),
+                 calib_batches=[feed])
+    assert any("ENTROPY" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        optimize(build(), quant=QuantConfig(), calib_batches=[feed])
+    assert not any("ENTROPY" in str(w.message) for w in caught)
