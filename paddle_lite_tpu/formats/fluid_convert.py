@@ -614,15 +614,33 @@ class FluidConverter:
     def _op_box_coder(self, op: FluidOp) -> None:
         ins = {"PriorBox": [self._maybe_weight(op.input("PriorBox"))],
                "TargetBox": [self.ensure_sem(self._maybe_weight(op.input("TargetBox")))]}
+        shape_args = [ins["PriorBox"][0]]
         if op.maybe_input("PriorBoxVar"):
             ins["PriorBoxVar"] = [self._maybe_weight(op.input("PriorBoxVar"))]
+            shape_args.append(ins["PriorBoxVar"][0])
+        # TargetBox last — box_coder_shape reads in_shapes[-1]
+        shape_args.append(ins["TargetBox"][0])
         self._emit("box_coder", ins, {"OutputBox": [op.output("OutputBox")]},
-                   dict(op.attrs),
-                   shape_args=[ins["PriorBox"][0], ins["TargetBox"][0]])
+                   dict(op.attrs), shape_args=shape_args)
 
     def _op_multiclass_nms(self, op: FluidOp) -> None:
-        ins = {"BBoxes": [self.ensure_sem(self._maybe_weight(op.input("BBoxes")))],
-               "Scores": [self.ensure_sem(self._maybe_weight(op.input("Scores")))]}
+        bb = self.ensure_sem(self._maybe_weight(op.input("BBoxes")))
+        sc = self.ensure_sem(self._maybe_weight(op.input("Scores")))
+        # fluid multiclass_nms takes Scores as (N, C, M) — classes before
+        # priors (lite/operators/multiclass_nms_op.cc slot contract); our
+        # kernel batches per-class NMS from (N, M, C).  Insert the
+        # counter-transpose when the fluid layout is detected (C==M graphs
+        # are ambiguous and pass through — both readings agree there).
+        m = self.g.vars[bb].shape[1]
+        s_shape = self.g.vars[sc].shape
+        if len(s_shape) == 3 and s_shape[1] != m and s_shape[2] == m:
+            out = self.g.unique_name(sc + ".nmc")
+            n, c_, _ = s_shape
+            self.g.add_var(out, (n, m, c_))
+            self.g.add_op("transpose", {"X": [sc]}, {"Out": [out]},
+                          {"axis": [0, 2, 1]})
+            sc = out
+        ins = {"BBoxes": [bb], "Scores": [sc]}
         self._emit(op.type, ins, {"Out": [op.output("Out")]}, dict(op.attrs),
                    shape_args=[ins["BBoxes"][0], ins["Scores"][0]])
 

@@ -143,9 +143,15 @@ def build_rec(batch: int = 1, height: int = 32, width: int = 320,
     d = b.g.vars[seq].shape[-1]
     w_cls = b.rand_weight("ctc_fc.w", (d, num_chars + 1),
                           scale=np.sqrt(1.0 / d))
-    logits = b.op("mul", {"X": [seq], "Y": [w_cls]},
-                  attrs={"x_num_col_dims": 2, "y_num_col_dims": 1},
-                  shape_args=[seq, w_cls], out_name="ctc_logits")[0]
+    # trained CTC heads carry a bias (blank-dominant class priors live
+    # there); zero-initialized so outputs are unchanged for fixed seeds
+    b_cls = b.weight("ctc_fc.b", np.zeros((num_chars + 1,), np.float32))
+    mm = b.op("mul", {"X": [seq], "Y": [w_cls]},
+              attrs={"x_num_col_dims": 2, "y_num_col_dims": 1},
+              shape_args=[seq, w_cls], out_name="ctc_mm")[0]
+    logits = b.op("elementwise_add", {"X": [mm], "Y": [b_cls]},
+                  attrs={"axis": -1}, shape_args=[mm, b_cls],
+                  out_name="ctc_logits")[0]
     probs = b.softmax(logits, axis=-1)
     decoded, lengths = b.op(
         "ctc_greedy_decode", {"X": [probs]},

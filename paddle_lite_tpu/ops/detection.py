@@ -168,8 +168,9 @@ def density_prior_box_xla(ctx, op, ins):
 
 @OPS.shape_fn("box_coder")
 def box_coder_shape(attrs, in_shapes):
-    # target_box (N, M, 4) (decode) with prior (M, 4)
-    return [in_shapes[2]]
+    # target_box (N, M, 4) (decode) with prior (M, 4); PriorBoxVar is
+    # optional, so TargetBox is the LAST shape arg
+    return [in_shapes[-1]]
 
 
 @OPS.kernel("box_coder", "xla")

@@ -153,13 +153,32 @@ def measure_gemm(m: int, k: int, n: int, *, iters: int = 16,
 
 
 def tune_graph(graph, *, verbose: bool = False) -> Dict[str, str]:
-    """Measure every Pallas-eligible GEMM problem in an optimized graph."""
+    """Measure every Pallas-eligible problem in an optimized graph — GEMM
+    buckets and general depthwise shapes (k∈{3,5}, s∈{1,2})."""
     from .autotune import _gemm_problem
 
     results: Dict[str, str] = {}
     seen = set()
     for op in graph.ops:
         if not op.attrs.get("enable_int8"):
+            continue
+        if op.op_type == "depthwise_conv2d":
+            from . import depthwise
+            from ..common import normalize_2d
+
+            x = graph.vars[op.input("Input")]
+            w = graph.vars[op.input("Filter")]
+            if not depthwise.supported_general(op.attrs, x.shape, w.shape) \
+                    or op.maybe_input("ResidualData"):
+                continue
+            k = w.shape[0]
+            s = normalize_2d(op.attrs.get("strides", (1, 1)))[0]
+            key = _dw_key(x.shape[1], x.shape[3], k, s)
+            if key in seen:
+                continue
+            seen.add(key)
+            results[key] = measure_dw(x.shape[0], x.shape[1], x.shape[3],
+                                      k=k, s=s, verbose=verbose)
             continue
         prob = _gemm_problem(graph, op)
         if prob is None:

@@ -108,6 +108,154 @@ def torch_mobilenet_v1(num_classes: int = 1000, width_mult: float = 1.0,
     return model
 
 
+def realistic_graph_init(graph, seed: int = 0) -> int:
+    """Re-initialize a zoo graph's weights in place with trained-looking
+    statistics — :func:`realistic_init` applied directly to graph weights
+    for models without a torch twin (SSD, DBNet, CRNN).
+
+    The zoo's plain he-init gives near-exchangeable output channels, so
+    argmax/ranking metrics degenerate to near-tie coin flips that NO
+    quantizer could preserve; trained networks have decisive margins
+    (the MNv1/MNv3/R50 twins agree 100% after int8).  Returns the number
+    of weight tensors re-drawn.
+    """
+    rng = np.random.default_rng(seed)
+    n = 0
+    bn_slots = {"Scale": (1.0, 0.2, 0.3, 2.0), "Bias": (0.0, 0.1, None, None),
+                "Mean": (0.0, 0.3, None, None)}
+    for op in graph.ops:
+        t = op.op_type
+        if t in ("conv2d", "depthwise_conv2d", "conv2d_transpose"):
+            name = op.input("Filter")
+            w = graph.weights.get(name)
+            if w is None:
+                continue
+            kh, kw, ci, co = w.shape
+            fan_out = kh * kw * (co if t != "depthwise_conv2d" else 1)
+            gain = rng.normal(1.0, 0.1)
+            graph.weights[name] = (
+                rng.normal(0, np.sqrt(2.0 / max(fan_out, 1)), w.shape)
+                * np.clip(gain, 0.7, 1.3)).astype(np.float32)
+            n += 1
+        elif t == "batch_norm":
+            for slot, (mu, sig, lo, hi) in bn_slots.items():
+                name = op.input(slot)
+                if name not in graph.weights:
+                    continue
+                v = rng.normal(mu, sig, graph.weights[name].shape)
+                if lo is not None:
+                    v = np.clip(v, lo, hi)
+                graph.weights[name] = v.astype(np.float32)
+                n += 1
+            vn = op.input("Variance")
+            if vn in graph.weights:
+                graph.weights[vn] = np.clip(
+                    rng.lognormal(0.0, 0.4, graph.weights[vn].shape),
+                    0.05, 5.0).astype(np.float32)
+                n += 1
+    return n
+
+
+def torch_mobilenet_v3(num_classes: int = 1000, seed: int = 0):
+    """Twin of models/mobilenet_v3.py (MobileNetV3-Large). Registration
+    order matches the zoo's op creation order exactly: per block
+    expand conv+bn → depthwise conv+bn → SE (two biased 1x1 convs) →
+    project conv+bn; SE uses paddle's hard_sigmoid (slope 0.2, offset 0.5),
+    not torch's Hardsigmoid (slope 1/6)."""
+    torch, nn = _torch()
+
+    # (kernel, exp_size, out_c, use_se, act, stride) — keep in sync with
+    # models/mobilenet_v3._BLOCKS
+    blocks_cfg = [
+        (3, 16, 16, False, "relu", 1),
+        (3, 64, 24, False, "relu", 2),
+        (3, 72, 24, False, "relu", 1),
+        (5, 72, 40, True, "relu", 2),
+        (5, 120, 40, True, "relu", 1),
+        (5, 120, 40, True, "relu", 1),
+        (3, 240, 80, False, "hswish", 2),
+        (3, 200, 80, False, "hswish", 1),
+        (3, 184, 80, False, "hswish", 1),
+        (3, 184, 80, False, "hswish", 1),
+        (3, 480, 112, True, "hswish", 1),
+        (3, 672, 112, True, "hswish", 1),
+        (5, 672, 160, True, "hswish", 2),
+        (5, 960, 160, True, "hswish", 1),
+        (5, 960, 160, True, "hswish", 1),
+    ]
+
+    class SE(nn.Module):
+        def __init__(self, c, ratio=4):
+            super().__init__()
+            mid = max(c // ratio, 8)
+            self.fc1 = nn.Conv2d(c, mid, 1)       # bias=True, like the zoo
+            self.fc2 = nn.Conv2d(mid, c, 1)
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            s = torch.relu(self.fc1(s))
+            s = torch.clamp(0.2 * self.fc2(s) + 0.5, 0.0, 1.0)
+            return x * s
+
+    class Block(nn.Module):
+        def __init__(self, cin, k, exp, out_c, use_se, act, stride):
+            super().__init__()
+            self.use_res = stride == 1 and cin == out_c
+            self.act = nn.Hardswish() if act == "hswish" else nn.ReLU()
+            if exp != cin:
+                self.expand = nn.Conv2d(cin, exp, 1, bias=False)
+                self.expand_bn = nn.BatchNorm2d(exp)
+            else:
+                self.expand = None
+            self.dw = nn.Conv2d(exp, exp, k, stride, k // 2, groups=exp,
+                                bias=False)
+            self.dw_bn = nn.BatchNorm2d(exp)
+            self.se = SE(exp) if use_se else None
+            self.project = nn.Conv2d(exp, out_c, 1, bias=False)
+            self.project_bn = nn.BatchNorm2d(out_c)
+
+        def forward(self, x):
+            y = x
+            if self.expand is not None:
+                y = self.act(self.expand_bn(self.expand(y)))
+            y = self.act(self.dw_bn(self.dw(y)))
+            if self.se is not None:
+                y = self.se(y)
+            y = self.project_bn(self.project(y))
+            return x + y if self.use_res else y
+
+    class MNv3(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Conv2d(3, 16, 3, 2, 1, bias=False)
+            self.stem_bn = nn.BatchNorm2d(16)
+            self.hs = nn.Hardswish()
+            blocks = []
+            cin = 16
+            for k, exp, out_c, use_se, act, stride in blocks_cfg:
+                blocks.append(Block(cin, k, exp, out_c, use_se, act, stride))
+                cin = out_c
+            self.blocks = nn.Sequential(*blocks)
+            self.head_conv = nn.Conv2d(cin, 960, 1, bias=False)
+            self.head_bn = nn.BatchNorm2d(960)
+            self.pre_fc = nn.Conv2d(960, 1280, 1)  # bias=True, like the zoo
+            self.fc = nn.Linear(1280, num_classes)
+
+        def forward(self, x):
+            x = self.hs(self.stem_bn(self.stem(x)))
+            x = self.blocks(x)
+            x = self.hs(self.head_bn(self.head_conv(x)))
+            x = x.mean((2, 3), keepdim=True)
+            x = self.hs(self.pre_fc(x))
+            return self.fc(x.flatten(1))
+
+    model = MNv3()
+    realistic_init(model, seed)
+    model.eval()
+    _calibrate_logit_scale(model, in_size=64, seed=seed)
+    return model
+
+
 def torch_resnet50(num_classes: int = 1000, seed: int = 0):
     """Matches models/resnet.py op-creation order: in projecting blocks the
     downsample conv+bn are registered BEFORE the main-path convs."""

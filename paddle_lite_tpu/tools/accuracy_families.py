@@ -1,0 +1,587 @@
+"""Accuracy harnesses for the non-classification BASELINE config families —
+detection (SSD), segmentation-style mask (DBNet), sequence decode (CRNN) and
+NLP classification (ERNIE) — completing the accuracy contract that
+``accuracy_report.py`` established for the two classifier configs.
+
+The reference covered these model families with golden-output integration
+tests on its detection/OCR demos (SURVEY §4.3).  No pretrained checkpoint is
+reachable here (no network), so ground truth is the fp32 zoo model under
+EXACT NMS / exact decode, and every variant (int8, approximate-NMS tiers,
+bf16 islands) is scored against it — a *stricter* contract than a labeled
+test set, because every deviation counts as an error.
+
+Metrics per family (what the mAP/hmean/CER machinery reduces to when the
+reference predictions ARE the labels):
+
+- SSD:   greedy box matching (same label, IoU>0.5) → precision/recall/F1 of
+         each variant against fp32+exact-NMS, at two confidence regimes.
+         This explicitly bounds the bucket-NMS recall trade (512/256) the
+         model exposes as opt-in (models/ssd.py).
+- DBNet: binarized-mask IoU + box-level match (via tools/db_postprocess) of
+         int8 vs fp32 probability maps.
+- CRNN:  CTC greedy-decode sequence exact-match rate + normalized edit
+         distance (character error rate proxy) + prob cosine.
+- ERNIE: classification label agreement + probability cosine.
+
+Run ``python -m paddle_lite_tpu.tools.accuracy_families --family all`` to
+regenerate the committed snapshots in ``docs/accuracy_*.json`` /
+``docs/ACCURACY.md``.  CPU by default: accuracy is platform-independent and
+must not contend with TPU perf jobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _compile(graph):
+    import jax
+
+    from ..core.executor import build_callable, stage_weights
+
+    fn = jax.jit(build_callable(graph))
+    weights = jax.device_put(stage_weights(graph))
+
+    def run(feed):
+        out = jax.device_get(fn(weights, feed))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    return run
+
+
+def _cosine(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64).ravel()
+    b = b.astype(np.float64).ravel()
+    return float((a * b).sum() /
+                 (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def _images(n: int, size: int, *, seed: int, batch: int,
+            height: Optional[int] = None):
+    """structured_images, NHWC, optionally non-square (CRNN strips)."""
+    from ..testing.twins import structured_images
+
+    h = height or size
+    for x in structured_images(n, size, seed=seed, batch=batch):
+        x = np.transpose(x, (0, 2, 3, 1)).copy()  # NCHW->NHWC
+        yield x[:, :h] if h != size else x
+
+
+def _optimize_int8(graph, calib, **quant_kw):
+    from .. import QuantConfig
+    from .opt import optimize
+
+    return optimize(graph, quant=QuantConfig(**quant_kw), calib_batches=calib)
+
+
+def _head_spread_factor(build_fn, head_w: str, probe_feed: dict,
+                        out_name: str, *, target_std: float = 4.0) -> float:
+    """Rescale factor for a classifier head so logits get trained-network
+    spread (std≈4 → confident softmax) — testing/twins.py's
+    _calibrate_logit_scale applied to zoo weights.  A random head produces
+    near-uniform probabilities whose argmax is pure noise; agreement metrics
+    only mean something in the confident regime trained models live in."""
+    g = build_fn()
+    run = _compile(g)
+    probs = run(probe_feed)[out_name].astype(np.float64)
+    # recover logit std from the softmax output (log is inverse up to the
+    # per-row normalizer, which cancels in the std)
+    logits = np.log(np.maximum(probs, 1e-30))
+    return float(target_std / max(logits.std(), 1e-6))
+
+
+def _scale_head(graph, head_w: str, factor: float) -> None:
+    for name in (head_w, head_w.replace(".w", ".b")):
+        if name in graph.weights:
+            graph.weights[name] = (
+                np.asarray(graph.weights[name]) * factor).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# SSD — detection box matching
+# ---------------------------------------------------------------------------
+
+def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n,4) x (m,4) -> (n,m) IoU."""
+    ax1, ay1, ax2, ay2 = a[:, 0:1], a[:, 1:2], a[:, 2:3], a[:, 3:4]
+    bx1, by1, bx2, by2 = b[None, :, 0], b[None, :, 1], b[None, :, 2], b[None, :, 3]
+    iw = np.maximum(np.minimum(ax2, bx2) - np.maximum(ax1, bx1), 0)
+    ih = np.maximum(np.minimum(ay2, by2) - np.maximum(ay1, by1), 0)
+    inter = iw * ih
+    area_a = np.maximum(ax2 - ax1, 0) * np.maximum(ay2 - ay1, 0)
+    area_b = np.maximum(bx2 - bx1, 0) * np.maximum(by2 - by1, 0)
+    return inter / np.maximum(area_a + area_b - inter, 1e-12)
+
+
+def _dets(rows: np.ndarray, conf: float) -> Dict[str, np.ndarray]:
+    """NMS output rows (k, 6) [label, score, x1, y1, x2, y2] -> filtered."""
+    keep = (rows[:, 0] >= 0) & (rows[:, 1] >= conf)
+    r = rows[keep]
+    order = np.argsort(-r[:, 1], kind="stable")
+    r = r[order]
+    return {"label": r[:, 0].astype(np.int64), "score": r[:, 1],
+            "box": r[:, 2:6]}
+
+
+def match_detections(ref_rows: np.ndarray, got_rows: np.ndarray, *,
+                     conf: float = 0.25, iou: float = 0.5,
+                     same_label: bool = True,
+                     conf_got: Optional[float] = None) -> Dict[str, float]:
+    """Greedy match of `got` against `ref` (same label, IoU>thresh),
+    score-descending — the assignment step of detection mAP with the fp32
+    predictions as ground truth.  ``same_label=False`` gives the
+    class-agnostic box match (separates "box lost" from "near-tie label
+    flipped").  ``conf_got`` (default conf/2) filters the candidate side at
+    a lower threshold, the standard practice that keeps score-boundary
+    flicker (0.251 → 0.249) from counting as a lost detection.
+    Returns matched/ref/got counts (got counted at ``conf``)."""
+    ref = _dets(ref_rows, conf)
+    got = _dets(got_rows, conf_got if conf_got is not None else conf / 2)
+    n_got_at_conf = int((got["score"] >= conf).sum())
+    used = np.zeros(len(got["label"]), bool)
+    matched = 0
+    if len(ref["label"]) and len(got["label"]):
+        ious = _iou_xyxy(ref["box"], got["box"])
+        for i in range(len(ref["label"])):
+            ok = ~used & (ious[i] > iou)
+            if same_label:
+                ok &= got["label"] == ref["label"][i]
+            if ok.any():
+                j = int(np.argmax(np.where(ok, ious[i], -1)))
+                used[j] = True
+                matched += 1
+    return {"matched": matched, "ref": int(len(ref["label"])),
+            "got": n_got_at_conf}
+
+
+def _scale_convs_feeding(graph, concat_src: str, factor: float) -> None:
+    """Scale the head convs found structurally behind ``concat_src``
+    (concat ← reshape ← conv2d)."""
+    concat = graph.vars[concat_src].def_op
+    for r in concat.input_names():
+        conv = graph.vars[graph.vars[r].def_op.input_names()[0]].def_op
+        for slot in ("Filter", "Bias"):
+            if conv.maybe_input(slot):
+                wn = conv.input(slot)
+                graph.weights[wn] = (
+                    np.asarray(graph.weights[wn]) * factor
+                ).astype(np.float32)
+
+
+def _scale_ssd_heads(graph, conf_factor: float, loc_factor: float,
+                     bg_bias: float = 0.0, num_classes: int = 21) -> None:
+    """Put both SSD heads in the trained-detector regime.
+
+    conf (softmax ← concat): scores get decisive spread — random heads emit
+    near-uniform class scores whose ranking is pure noise.
+    bg_bias: added to every prior's background-class logit — trained SSDs
+    predict background at almost every prior, so detections are SPARSE;
+    without it every one of the 8732 priors is "confident" and the
+    keep_top_k cut slices a dense band of near-ties that no quantizer
+    could reproduce.
+    loc (box_coder TargetBox ← concat): offsets get trained-scale magnitude
+    — random loc heads throw boxes far from their priors, so a near-tie
+    prior swap under quantization produces two NON-overlapping boxes and
+    every match metric collapses for reasons no quantizer controls."""
+    sm = next(op for op in graph.ops if op.op_type == "softmax")
+    _scale_convs_feeding(graph, sm.input("X"), conf_factor)
+    if bg_bias:
+        concat = graph.vars[sm.input("X")].def_op
+        for r in concat.input_names():
+            conv = graph.vars[graph.vars[r].def_op.input_names()[0]].def_op
+            bn = conv.input("Bias")
+            bias = np.asarray(graph.weights[bn])
+            bias = bias.reshape(-1, num_classes).copy()
+            bias[:, 0] += bg_bias  # background = class 0 (paddle SSD)
+            graph.weights[bn] = bias.reshape(-1).astype(np.float32)
+    bc = next(op for op in graph.ops if op.op_type == "box_coder")
+    _scale_convs_feeding(graph, bc.input("TargetBox"), loc_factor)
+
+
+def ssd_report(*, n_images: int = 64, batch: int = 8, image_size: int = 300,
+               seed: int = 0, confs=(0.25, 0.1),
+               conf_head_scale: float = 4.0,
+               loc_head_scale: float = 0.1) -> dict:
+    # conf_head_scale=4 puts random-init class scores in the confident
+    # regime of trained detectors (measured: det score mean 0.72 / p90 0.91
+    # vs 0.16/0.21 unscaled — trained SSD deployments threshold at 0.25+);
+    # loc_head_scale=0.1 gives trained-scale box offsets (|delta| ~ 0.1 of
+    # the prior, matching the 0.1/0.2 coder variances' design regime)
+    """Every NMS tier and precision scored against fp32 + exact NMS.
+
+    ``bucket512``/``bucket256`` quantify the opt-in bucket-max candidate
+    selection's recall trade (models/ssd.py attr ``approx_top_k='bucket'``).
+    """
+    from ..models import ssd
+    from .opt import optimize
+
+    from ..testing.twins import realistic_graph_init
+
+    def build(nms_mode, bucket=512, bg_bias=0.0):
+        g = ssd.build(batch=batch, image_size=image_size, seed=seed)
+        realistic_graph_init(g, seed=seed)   # trained-looking stats
+        _scale_ssd_heads(g, conf_head_scale, loc_head_scale, bg_bias=bg_bias)
+        nms = next(op for op in g.ops
+                   if op.op_type.startswith("multiclass_nms"))
+        nms.attrs["approx_top_k"] = nms_mode
+        nms.attrs["bucket_candidates"] = bucket
+        return g
+
+    # auto-calibrate the background bias so detections are SPARSE
+    # (~25/image like a trained detector): probe the conf logits and put
+    # the bg logit at the (1 - 25/M) quantile of per-prior foreground
+    # margins — see _scale_ssd_heads
+    g_probe = build(False)
+    sm = next(op for op in g_probe.ops if op.op_type == "softmax")
+    g_probe.outputs = [sm.input("X")]
+    probe_img = next(_images(batch, image_size, seed=seed + 3, batch=batch))
+    logits = _compile(g_probe)({"image": probe_img})[g_probe.outputs[0]]
+    margin = logits[..., 1:].max(-1) - logits[..., 0]
+    bg_bias = float(np.quantile(margin, 1 - 25 / margin.shape[1]))
+
+    def build(nms_mode, bucket=512, _inner=build, _bg=bg_bias):  # rebind
+        return _inner(nms_mode, bucket, bg_bias=_bg)
+
+    imgs = list(_images(n_images, image_size, seed=seed + 2, batch=batch))
+    calib = [{"image": next(_images(batch, image_size, seed=seed + 1,
+                                    batch=batch))}]
+
+    g_ref = optimize(build(False))
+    run_ref = _compile(g_ref)
+    ref_out = [run_ref({"image": x})[g_ref.outputs[0]] for x in imgs]
+
+    variants = {
+        "fp32_approx_max_k": (None, True, 512),
+        "int8_exact": ("int8", False, 512),
+        "int8_approx_max_k": ("int8", True, 512),     # shipped default
+        "int8_bucket512": ("int8", "bucket", 512),
+        "int8_bucket256": ("int8", "bucket", 256),
+    }
+    report = {"model": "ssd_mobilenet_v1", "n_images": n_images,
+              "image_size": image_size, "iou_match": 0.5,
+              "reference": "fp32 + exact top_k NMS", "variants": {}}
+
+    def match_against(ref_rows_all, got_rows_all, conf):
+        # recall: ref@conf found in got@conf/2; precision: got@conf found
+        # in ref@conf/2 (the two one-sided sweeps of a threshold-robust
+        # detection comparison)
+        n_match = n_ref = n_rmatch = n_got = agnostic = 0
+        for ref_rows, got_rows in zip(ref_rows_all, got_rows_all):
+            for bi in range(ref_rows.shape[0]):
+                m = match_detections(ref_rows[bi], got_rows[bi], conf=conf)
+                n_match += m["matched"]
+                n_ref += m["ref"]
+                r = match_detections(got_rows[bi], ref_rows[bi], conf=conf)
+                n_rmatch += r["matched"]
+                n_got += r["ref"]
+                agnostic += match_detections(
+                    ref_rows[bi], got_rows[bi], conf=conf,
+                    same_label=False)["matched"]
+        rec = n_match / max(n_ref, 1)
+        prec = n_rmatch / max(n_got, 1)
+        return {"recall": round(rec, 4), "precision": round(prec, 4),
+                "f1": round(2 * prec * rec / max(prec + rec, 1e-12), 4),
+                "box_recall_class_agnostic":
+                    round(agnostic / max(n_ref, 1), 4),
+                "ref_boxes": n_ref, "boxes": n_got}
+
+    outs = {}
+    for name, (quant, mode, bucket) in variants.items():
+        g = build(mode, bucket)
+        if quant == "int8":
+            _optimize_int8(g, calib)
+        else:
+            optimize(g)
+        run = _compile(g)
+        outs[name] = [run({"image": x})[g.outputs[0]] for x in imgs]
+
+    for name in variants:
+        per_conf = {}
+        for conf in confs:
+            entry = {f"vs_fp32_exact": match_against(ref_out, outs[name],
+                                                     conf)}
+            # for the int8 NMS tiers, also score against int8+exact — this
+            # isolates the candidate-selection loss from quantization loss
+            # (the number that gates the opt-in bucket mode)
+            if name.startswith("int8_") and name != "int8_exact":
+                entry["vs_int8_exact"] = match_against(
+                    outs["int8_exact"], outs[name], conf)
+            per_conf[f"conf_{conf}"] = entry
+        report["variants"][name] = per_conf
+    return report
+
+
+# ---------------------------------------------------------------------------
+# DBNet — mask IoU + box match
+# ---------------------------------------------------------------------------
+
+def dbnet_report(*, n_images: int = 8, batch: int = 2, image_size: int = 640,
+                 seed: int = 0, bin_thresh: float = 0.3) -> dict:
+    from .db_postprocess import extract_boxes
+    from .opt import optimize
+
+    from ..models.ppocr import build_det
+
+    from ..testing.twins import realistic_graph_init
+
+    def build():
+        g = build_det(batch=batch, image_size=image_size, seed=seed)
+        realistic_graph_init(g, seed=seed)
+        return g
+
+    imgs = list(_images(n_images, image_size, seed=seed + 2, batch=batch))
+    calib = [{"image": next(_images(batch, image_size, seed=seed + 1,
+                                    batch=batch))}]
+
+    g32 = optimize(build())
+    run32 = _compile(g32)
+    ref_maps = [run32({"image": x})[g32.outputs[0]] for x in imgs]
+
+    report = {"model": "ppocr_det_dbnet", "n_images": n_images,
+              "image_size": image_size, "bin_thresh": bin_thresh,
+              "variants": {}}
+    for name, quant_kw in (("int8", {}),
+                           ("int8_bf16_islands",
+                            {"island_dtype": "bfloat16"})):
+        g8 = build()
+        _optimize_int8(g8, calib, **quant_kw)
+        run8 = _compile(g8)
+        ious, pix_agree = [], []
+        box_tot = {"matched": 0, "ref": 0, "got": 0}
+        for x, ref in zip(imgs, ref_maps):
+            got = run8({"image": x})[g8.outputs[0]]
+            rm = ref[..., 0] > bin_thresh
+            gm = got[..., 0] > bin_thresh
+            for bi in range(rm.shape[0]):
+                inter = np.logical_and(rm[bi], gm[bi]).sum()
+                union = np.logical_or(rm[bi], gm[bi]).sum()
+                ious.append(inter / union if union else 1.0)
+                pix_agree.append((rm[bi] == gm[bi]).mean())
+                rb = extract_boxes(ref[bi, ..., 0], bin_thresh=bin_thresh,
+                                   box_thresh=bin_thresh)
+                gb = extract_boxes(got[bi, ..., 0], bin_thresh=bin_thresh,
+                                   box_thresh=bin_thresh)
+                ra = np.array([[b.x1, b.y1, b.x2, b.y2] for b in rb],
+                              np.float64).reshape(-1, 4)
+                ga = np.array([[b.x1, b.y1, b.x2, b.y2] for b in gb],
+                              np.float64).reshape(-1, 4)
+                used = np.zeros(len(ga), bool)
+                for i in range(len(ra)):
+                    if len(ga):
+                        iou_row = _iou_xyxy(ra[i:i + 1], ga)[0]
+                        ok = (iou_row > 0.5) & ~used
+                        if ok.any():
+                            used[int(np.argmax(
+                                np.where(ok, iou_row, -1)))] = True
+                            box_tot["matched"] += 1
+                box_tot["ref"] += len(ra)
+                box_tot["got"] += len(ga)
+        report["variants"][name] = {
+            "mask_iou_mean": round(float(np.mean(ious)), 4),
+            "mask_iou_min": round(float(np.min(ious)), 4),
+            "pixel_agreement": round(float(np.mean(pix_agree)), 6),
+            "box_recall": round(box_tot["matched"] / max(box_tot["ref"], 1), 4),
+            "box_precision": round(
+                box_tot["matched"] / max(box_tot["got"], 1), 4),
+            "ref_boxes": box_tot["ref"], "boxes": box_tot["got"],
+        }
+    return report
+
+
+# ---------------------------------------------------------------------------
+# CRNN — CTC decode agreement
+# ---------------------------------------------------------------------------
+
+def _edit_distance(a: List[int], b: List[int]) -> int:
+    """Levenshtein distance (CER numerator)."""
+    if not a:
+        return len(b)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _decode_rows(decoded: np.ndarray) -> List[List[int]]:
+    """ctc_greedy_decode 'Out' rows are -1-padded label sequences."""
+    return [[int(v) for v in row if v >= 0] for row in decoded]
+
+
+def crnn_report(*, n_images: int = 256, batch: int = 32, width: int = 320,
+                seed: int = 0) -> dict:
+    from .opt import optimize
+
+    from ..models.ppocr import build_rec
+
+    imgs = list(_images(n_images, width, seed=seed + 2, batch=batch,
+                        height=32))
+    calib = [{"image": next(_images(batch, width, seed=seed + 1, batch=batch,
+                                    height=32))}]
+
+    from ..testing.twins import realistic_graph_init
+
+    def build():
+        g = build_rec(batch=batch, width=width, seed=seed)
+        realistic_graph_init(g, seed=seed)
+        # trained-CTC class priors: the blank dominates most timesteps and
+        # character priors spread — lives in the head bias.  Without this
+        # every per-step argmax is a near-tie over 6626 exchangeable
+        # classes, a ranking no quantizer could preserve.
+        nc = g.weights["ctc_fc.b"].shape[0]
+        bias = np.random.default_rng(seed + 7).normal(0, 1.5, nc)
+        bias[-1] += 2.0  # blank prior (blank = C-1, paddle OCR convention)
+        g.weights["ctc_fc.b"] = bias.astype(np.float32)
+        return g
+
+    # confident per-step distributions, like a trained CTC head (see
+    # _head_spread_factor) — near-uniform probs make decode agreement noise
+    factor = _head_spread_factor(build, "ctc_fc.w", {"image": imgs[0]},
+                                 build().outputs[0])
+
+    g32 = build()
+    _scale_head(g32, "ctc_fc.w", factor)
+    optimize(g32)
+    run32 = _compile(g32)
+    probs_name, dec_name = g32.outputs[0], g32.outputs[1]
+    ref = [run32({"image": x}) for x in imgs]
+
+    report = {"model": "ppocr_rec_crnn", "n_images": n_images,
+              "width": width, "variants": {}}
+    for name, quant_kw in (("int8", {}),
+                           ("int8_bf16_islands",
+                            {"island_dtype": "bfloat16"})):
+        g8 = build()
+        _scale_head(g8, "ctc_fc.w", factor)
+        _optimize_int8(g8, calib, **quant_kw)
+        run8 = _compile(g8)
+        exact = total = 0
+        edits = ref_len = 0
+        cosines = []
+        for x, r in zip(imgs, ref):
+            got = run8({"image": x})
+            cosines.append(_cosine(r[probs_name], got[probs_name]))
+            for ra, ga in zip(_decode_rows(r[dec_name]),
+                              _decode_rows(got[dec_name])):
+                exact += int(ra == ga)
+                total += 1
+                edits += _edit_distance(ra, ga)
+                ref_len += len(ra)
+        report["variants"][name] = {
+            "sequence_exact_match": round(exact / total, 4),
+            "char_error_rate_vs_fp32": round(edits / max(ref_len, 1), 4),
+            "prob_cosine": round(float(np.mean(cosines)), 6),
+            "sequences": total,
+        }
+    return report
+
+
+# ---------------------------------------------------------------------------
+# ERNIE — label agreement
+# ---------------------------------------------------------------------------
+
+def _token_batches(n: int, batch: int, seq_len: int, vocab: int, seed: int):
+    """Zipf-distributed token ids (natural-language-like frequency spectrum
+    stresses the embedding range far more than uniform ids) + contiguous
+    segment blocks."""
+    rng = np.random.default_rng(seed)
+    done = 0
+    while done < n:
+        bsz = min(batch, n - done)
+        tok = np.minimum(rng.zipf(1.2, (bsz, seq_len)), vocab - 1)
+        seg_split = rng.integers(seq_len // 4, 3 * seq_len // 4, (bsz, 1))
+        seg = (np.arange(seq_len)[None, :] >= seg_split).astype(np.int32)
+        yield {"token_ids": tok.astype(np.int32), "segment_ids": seg}
+        done += bsz
+
+
+def ernie_report(*, n_seqs: int = 256, batch: int = 32, seq_len: int = 128,
+                 seed: int = 0) -> dict:
+    from .opt import optimize
+
+    from ..models import ernie_tiny
+
+    vocab = 18000
+    feeds = list(_token_batches(n_seqs, batch, seq_len, vocab, seed + 2))
+    calib = list(_token_batches(batch, batch, seq_len, vocab, seed + 1))
+
+    g32 = optimize(ernie_tiny.build(batch=batch, seq_len=seq_len, seed=seed))
+    run32 = _compile(g32)
+    out = g32.outputs[0]
+    ref = [run32(f)[out] for f in feeds]
+
+    report = {"model": "ernie_tiny", "n_seqs": n_seqs, "seq_len": seq_len,
+              "variants": {}}
+    for name, quant_kw in (("int8", {}),
+                           ("int8_bf16_islands",
+                            {"island_dtype": "bfloat16"})):
+        g8 = ernie_tiny.build(batch=batch, seq_len=seq_len, seed=seed)
+        _optimize_int8(g8, calib, **quant_kw)
+        run8 = _compile(g8)
+        agree = total = 0
+        drift = 0.0
+        cosines = []
+        for f, r in zip(feeds, ref):
+            got = run8(f)[out]
+            cosines.append(_cosine(r, got))
+            agree += int((got.argmax(-1) == r.argmax(-1)).sum())
+            total += r.shape[0]
+            drift += float(np.abs(got.max(-1) - r.max(-1)).sum())
+        report["variants"][name] = {
+            "label_agreement": round(agree / total, 4),
+            "mean_top_prob_drift": round(drift / total, 6),
+            "prob_cosine": round(float(np.mean(cosines)), 6),
+            "sequences": total,
+        }
+    return report
+
+
+# MobileNetV3 (BASELINE config #3a) is covered by the full twin-based
+# classification report: ``accuracy_report --model mobilenet_v3``
+# (testing/twins.torch_mobilenet_v3).
+
+FAMILIES = {
+    "ssd": ssd_report,
+    "dbnet": dbnet_report,
+    "crnn": crnn_report,
+    "ernie": ernie_report,
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", default="all",
+                   choices=["all"] + sorted(FAMILIES))
+    p.add_argument("--out-dir", default=None,
+                   help="write docs/accuracy_<family>.json files")
+    p.add_argument("--platform", default="cpu", choices=["cpu", "default"])
+    args = p.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    names = sorted(FAMILIES) if args.family == "all" else [args.family]
+    for name in names:
+        rep = FAMILIES[name]()
+        text = json.dumps(rep, indent=1)
+        if args.out_dir:
+            path = f"{args.out_dir}/accuracy_{name}.json"
+            with open(path, "w") as f:
+                f.write(text + "\n")
+            print(f"wrote {path}")
+        print(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,10 @@ def build_imported(model: str, batch: int, image_size: int, seed: int):
         from ..models import mobilenet_v1 as zoo
 
         twin = twins.torch_mobilenet_v1(seed=seed)
+    elif model == "mobilenet_v3":
+        from ..models import mobilenet_v3 as zoo
+
+        twin = twins.torch_mobilenet_v3(seed=seed)
     elif model == "resnet":
         from ..models import resnet as zoo
 
@@ -160,7 +164,7 @@ def main() -> None:
                         "must not contend with TPU perf jobs; the dev env's "
                         "sitecustomize force-selects the TPU otherwise)")
     p.add_argument("--model", default="mobilenet_v1",
-                   choices=["mobilenet_v1", "resnet"])
+                   choices=["mobilenet_v1", "mobilenet_v3", "resnet"])
     p.add_argument("--n-images", type=int, default=1000)
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--image-size", type=int, default=224)

@@ -36,7 +36,11 @@ def winograd_f23(x, w):
     n, h, wd, c = x.shape
     k = w.shape[-1]
     th, tw = h // 2, wd // 2
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # pad 2 on the trailing edge: the (i=3, j=3) tile-offset slices read
+    # [3, 3+2*th) and dynamic_slice CLAMPS an out-of-bounds start (silently
+    # shifting the whole slice); the extra row/col is never selected by the
+    # stride-2 subsample, it only keeps the slice in bounds
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
     # extract 4x4 tiles with stride 2: (N, th, tw, 4, 4, C)
     tiles = jnp.stack([
         jax.lax.dynamic_slice_in_dim(
@@ -55,8 +59,10 @@ def winograd_f23(x, w):
                    preferred_element_type=jnp.float32)
     m = m.reshape(4, 4, n, th, tw, k)
     at = jnp.asarray(AT, jnp.float32)
-    y = jnp.einsum("ij,jkntwc,lk->ntiwlc", at, m, at)  # A^T m A
-    return y.transpose(2, 3, 0, 4, 1, 5).reshape(n, 2 * th, 2 * tw, k)
+    # A^T m A; output order (n, t, i, w, l, c) interleaves tile row/col
+    # directly — (t,i)→H and (w,l)→W merge in the reshape
+    y = jnp.einsum("ij,jkntwc,lk->ntiwlc", at, m, at)
+    return y.reshape(n, 2 * th, 2 * tw, k)
 
 
 def direct(x, w, pet):
