@@ -51,6 +51,9 @@ class ExecutionContext:
     def var_shape(self, name: str):
         return self.graph.vars[name].shape
 
+    def var_precision(self, name: str):
+        return self.graph.vars[name].precision
+
 
 def _resolve_inputs(op: OpNode, env: Dict[str, Any]) -> Dict[str, List[Any]]:
     return {

@@ -10,9 +10,11 @@ int8 kernel launch.
 
 Winograd note (SURVEY §7.3): the reference ran fp32 3x3 convs via Winograd
 F(2,3)/F(4,3) on ARM to cut multiplies; on the MXU dense matmul throughput
-makes Winograd's transform overhead a net loss (measured: XLA's direct conv
-keeps the MXU busier than a Winograd pipeline could — multiplies are not the
-scarce resource), so 3x3 convs lower directly.
+makes Winograd's transform overhead a net loss, so 3x3 convs lower
+directly.  Measured on the v5e at all four ResNet-50 3x3 stages (b32):
+direct wins 4-25x over an output-correct bf16 F(2,3) pipeline, int8 direct
+another ~1.8x on top — full table in docs/ROOFLINE.md ("Winograd F(2,3) vs
+direct"), study in tools/studies/winograd.py.
 """
 
 from __future__ import annotations

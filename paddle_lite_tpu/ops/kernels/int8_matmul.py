@@ -74,15 +74,18 @@ def _pad_to(x, mult0, mult1):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "out_scale", "interpret", "act_attrs_tuple"),
+    static_argnames=("act", "out_scale", "interpret", "act_attrs_tuple",
+                     "blocks"),
 )
 def _int8_matmul_impl(x_q, w_q, eff_scale, bias, *, act, act_attrs_tuple,
-                      out_scale, interpret):
+                      out_scale, interpret, blocks=None):
     m, k = x_q.shape
     _, n = w_q.shape
     act_attrs = dict(act_attrs_tuple) if act_attrs_tuple else None
-    blocks = gemm_blocks(m, k, n)
-    bm, bk, bn = blocks.bm, blocks.bk, blocks.bn
+    if blocks is None:
+        b = gemm_blocks(m, k, n)
+        blocks = (b.bm, b.bk, b.bn)
+    bm, bk, bn = blocks
 
     xp = _pad_to(x_q, bm, bk)
     wp = _pad_to(w_q, bk, bn)
@@ -150,10 +153,18 @@ def int8_matmul(
     act_attrs: Optional[dict] = None,
     out_scale: Optional[float] = None,
     interpret: bool = False,
+    blocks: Optional[tuple] = None,
 ):
     """out = epilogue((x_q @ w_q).i32) — fp32 out, or int8 when ``out_scale``
     is given.  ``eff_scale`` is s_x*s_w per output column (shape (N,) or
-    scalar broadcast)."""
+    scalar broadcast).  ``blocks`` overrides the (bm, bk, bn) tile choice;
+    by default the measured per-bucket table is consulted
+    (tune_cache.lookup_blocks), falling back to the static heuristic."""
+    if blocks is None and not interpret:
+        from . import tune_cache
+
+        blocks = tune_cache.lookup_blocks(x_q.shape[0], x_q.shape[1],
+                                          w_q.shape[1])
     eff_scale = jnp.broadcast_to(jnp.asarray(eff_scale, jnp.float32),
                                  (w_q.shape[1],))
     act_attrs_tuple = tuple(sorted(act_attrs.items())) if act_attrs else None
@@ -161,5 +172,5 @@ def int8_matmul(
         x_q, w_q, eff_scale, bias,
         act=act, act_attrs_tuple=act_attrs_tuple,
         out_scale=None if out_scale is None else float(out_scale),
-        interpret=interpret,
+        interpret=interpret, blocks=blocks,
     )

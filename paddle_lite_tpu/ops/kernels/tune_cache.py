@@ -71,6 +71,85 @@ def lookup_gemm(m: int, k: int, n: int) -> Optional[str]:
     return _load().get(_key(m, k, n))
 
 
+def lookup_blocks(m: int, k: int, n: int) -> Optional[Tuple[int, int, int]]:
+    """Measured (bm, bk, bn) override for this bucket (sweep_gemm_blocks),
+    or None to use the static heuristic (autotune.gemm_blocks)."""
+    v = _load().get("blocks:" + _key(m, k, n))
+    if not v:
+        return None
+    bm, bk, bn = (int(s) for s in v.split("x"))
+    return (bm, bk, bn)
+
+
+def _block_candidates(m: int, k: int, n: int):
+    """Candidate (bm, bk, bn) tiles: VMEM-feasible, MXU-aligned, biased
+    toward operand residency (whole-N / whole-K blocks minimize HBM
+    re-streaming — at (3072, 512, 1024)-class shapes the fixed 512^3
+    preference re-fetches X per N-tile and loses to XLA on pure DMA)."""
+    def clamp_opts(dim, opts, mult):
+        out = []
+        for o in opts:
+            o = min(o, dim)
+            o = max(mult, (o // mult) * mult) if dim > mult else mult
+            # pad-up cost: skip tiles more than 2x the dim
+            if o <= 2 * dim and o not in out:
+                out.append(o)
+        return out
+
+    cands = set()
+    for bm in clamp_opts(m, (256, 512, 1024, 2048), 32):
+        for bk in clamp_opts(k, (512, 1024, 2048), 128):
+            for bn in clamp_opts(n, (256, 512, 1024, 2048), 128):
+                # double-buffered operands + i32 acc + out tile, in bytes
+                vmem = 2 * (bm * bk + bk * bn) + 4 * bm * bn + bm * bn
+                if vmem <= 12 * 1024 * 1024:
+                    cands.add((bm, bk, bn))
+    return sorted(cands)
+
+
+def sweep_gemm_blocks(m: int, k: int, n: int, *, verbose: bool = False,
+                      persist: bool = True) -> Tuple[Tuple[int, int, int], float]:
+    """Measure every candidate block tiling for this GEMM on-chip and cache
+    the winner (the per-shape analog of the reference's per-SoC block-size
+    tables in device_info.cc).  Returns (blocks, seconds_per_call)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .int8_matmul import int8_matmul
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.integers(-127, 128, (m, k), dtype=np.int8))
+    w = jax.device_put(rng.integers(-127, 128, (k, n), dtype=np.int8))
+    eff = jnp.asarray(rng.uniform(1e-3, 2e-3, (n,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    interp = jax.default_backend() != "tpu"
+
+    best = None
+    best_t = float("inf")
+    for blocks in _block_candidates(m, k, n):
+        def one(xc, blocks=blocks):
+            return int8_matmul(xc, w, eff, bias, act="relu", out_scale=0.05,
+                               interpret=interp, blocks=blocks)
+
+        try:
+            t = _time_one(one, x)
+        except Exception as e:  # Mosaic rejects some tilings; skip them
+            if verbose:
+                print(f"  blocks {blocks}: failed ({type(e).__name__})",
+                      flush=True)
+            continue
+        if verbose:
+            f = 2 * m * k * n
+            print(f"  blocks {blocks}: {t*1e6:.1f}us "
+                  f"({f/t/1e12:.1f}T)", flush=True)
+        if t < best_t:
+            best, best_t = blocks, t
+    if best is not None and persist:
+        _store({"blocks:" + _key(m, k, n): "x".join(str(b) for b in best)})
+    return best, best_t
+
+
 def _store(entries: Dict[str, str]) -> None:
     p = _cache_path()
     p.parent.mkdir(parents=True, exist_ok=True)
@@ -78,6 +157,45 @@ def _store(entries: Dict[str, str]) -> None:
     table.update(entries)
     p.write_text(json.dumps(table, indent=1, sort_keys=True))
     _load.cache_clear()
+
+
+def _time_one(one, x, min_window: float = 0.25, n_iters: int = 16) -> float:
+    """Hardened per-iter on-device time of ``one(x)`` for a 2-D int8 operand:
+    dynamic trip count (one compile), window auto-scaled to >= min_window s,
+    median-of-3 deltas — small shapes at ~3us/iter need thousands of
+    iterations to dwarf the ~28ms tunnel-RTT jitter."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    @jax.jit
+    def looped(xc, it):
+        def body(i, carry):
+            out = one(carry)
+            return carry.at[0, 0].set(
+                jnp.bitwise_xor(carry[0, 0], out[0, 0].astype(carry.dtype)))
+
+        final = jax.lax.fori_loop(0, it, body, xc)
+        return jnp.sum(final[0, :1].astype(jnp.int32))
+
+    def t(it):
+        t0 = _time.perf_counter()
+        float(jax.device_get(looped(x, jnp.int32(it))))
+        return _time.perf_counter() - t0
+
+    t(1)
+    loop = max(n_iters, 16)
+    while True:
+        d = float(_np.median([t(1 + loop) - t(1) for _ in range(3)]))
+        if d >= min_window or loop >= 1 << 22:
+            break
+        loop = min(max(int(loop * min_window * 1.3 / max(d, 1e-4)) + 1,
+                       loop * 2), 1 << 22)
+    deltas = [t(1 + loop) - t(1) for _ in range(3)]
+    good = [v for v in deltas if v > min_window / 4] or deltas
+    return float(_np.median(good)) / loop
 
 
 def measure_gemm(m: int, k: int, n: int, *, iters: int = 16,
@@ -106,42 +224,8 @@ def measure_gemm(m: int, k: int, n: int, *, iters: int = 16,
         y = jnp.maximum(acc.astype(jnp.float32) * eff + bias, 0)
         return jnp.clip(jnp.round(y * 20.0), -127, 127).astype(jnp.int8)
 
-    def timed(one, n_iters, min_window: float = 0.25):
-        """Hardened per-iter time: dynamic trip count (one compile), window
-        auto-scaled to >= min_window s, median-of-3 deltas — small shapes
-        at ~3us/iter need thousands of iterations to dwarf the ~28ms
-        tunnel-RTT jitter (the round-1 fixed-16-iter windows mis-ranked
-        pallas-vs-xla winners at exactly those shapes)."""
-        @jax.jit
-        def looped(xc, it):
-            def body(i, carry):
-                out = one(carry)
-                return carry.at[0, 0].set(
-                    jnp.bitwise_xor(carry[0, 0], out[0, 0].astype(carry.dtype)))
-
-            final = jax.lax.fori_loop(0, it, body, xc)
-            return jnp.sum(final[0, :1].astype(jnp.int32))
-
-        def t(it):
-            t0 = time.perf_counter()
-            float(jax.device_get(looped(x, jnp.int32(it))))
-            return time.perf_counter() - t0
-
-        t(1)
-        loop = max(n_iters, 16)
-        import numpy as _np
-        while True:
-            d = float(_np.median([t(1 + loop) - t(1) for _ in range(3)]))
-            if d >= min_window or loop >= 1 << 22:
-                break
-            loop = min(max(int(loop * min_window * 1.3 / max(d, 1e-4)) + 1,
-                           loop * 2), 1 << 22)
-        deltas = [t(1 + loop) - t(1) for _ in range(3)]
-        good = [v for v in deltas if v > min_window / 4] or deltas
-        return float(_np.median(good)) / loop
-
-    t_pallas = timed(one_pallas, iters)
-    t_xla = timed(one_xla, iters)
+    t_pallas = _time_one(one_pallas, x, n_iters=iters)
+    t_xla = _time_one(one_xla, x, n_iters=iters)
     winner = "pallas" if t_pallas < t_xla else "xla"
     if verbose:
         f = 2 * m * k * n
@@ -152,9 +236,12 @@ def measure_gemm(m: int, k: int, n: int, *, iters: int = 16,
     return winner
 
 
-def tune_graph(graph, *, verbose: bool = False) -> Dict[str, str]:
+def tune_graph(graph, *, verbose: bool = False,
+               sweep_blocks: bool = False) -> Dict[str, str]:
     """Measure every Pallas-eligible problem in an optimized graph — GEMM
-    buckets and general depthwise shapes (k∈{3,5}, s∈{1,2})."""
+    buckets and general depthwise shapes (k∈{3,5}, s∈{1,2}).  With
+    ``sweep_blocks``, each GEMM bucket first gets a measured block-shape
+    sweep (the winner is what measure_gemm then races against XLA)."""
     from .autotune import _gemm_problem
 
     results: Dict[str, str] = {}
@@ -187,6 +274,8 @@ def tune_graph(graph, *, verbose: bool = False) -> Dict[str, str]:
         if key in seen:
             continue
         seen.add(key)
+        if sweep_blocks:
+            sweep_gemm_blocks(*prob, verbose=verbose)
         results[key] = measure_gemm(*prob, verbose=verbose)
     return results
 

@@ -135,7 +135,30 @@ def concat_shape(attrs, in_shapes):
 
 @OPS.kernel("concat", "xla")
 def concat_xla(ctx, op, ins):
-    return {"Out": [jnp.concatenate(ins["X"], axis=int(op.attrs.get("axis", 0)))]}
+    """fp32 concat, or — when quantize_pass assigned an int8 region — the
+    reference's int8 concat (concat_compute.cc): every input requants to
+    the common output scale in-register and the concatenated map never
+    materializes in fp32."""
+    xs = ins["X"]
+    axis = int(op.attrs.get("axis", 0))
+    out_scale = op.attrs.get("out_scale")
+    if out_scale is not None and all(x.dtype == jnp.int8 for x in xs):
+        parts = []
+        for x, name in zip(xs, op.inputs["X"]):
+            r = float(ctx.var_quant(name).scale[0]) / float(out_scale)
+            if r == 1.0:
+                parts.append(x)
+            else:  # r <= 1 by construction (out scale is the max)
+                parts.append(jnp.clip(
+                    jnp.round(x.astype(jnp.float32) * r),
+                    -127, 127).astype(jnp.int8))
+        return {"Out": [jnp.concatenate(parts, axis=axis)]}
+    fixed = []
+    for x, name in zip(xs, op.inputs["X"]):
+        if x.dtype == jnp.int8:
+            x = dequantize(x, ctx.var_quant(name).scale[0])
+        fixed.append(x)
+    return {"Out": [jnp.concatenate(fixed, axis=axis)]}
 
 
 @OPS.shape_fn("split")
@@ -274,10 +297,14 @@ NEAREST_UPSAMPLE_BROADCAST = True
 @OPS.kernel("nearest_interp", "xla")
 def interp_xla(ctx, op, ins):
     x = ins["X"][0]
-    if x.dtype == jnp.int8:
+    method = ("bilinear" if op.op_type == "bilinear_interp" else "nearest")
+    if x.dtype == jnp.int8 and not (
+            method == "nearest"
+            and ctx.var_precision(op.output("Out")).name == "INT8"):
+        # nearest with an int8-assigned output is a pure int8 data movement
+        # (scale-preserving passthrough); everything else dequantizes
         x = dequantize(x, ctx.var_quant(op.input("X")).scale[0])
     n, oh, ow, c = ctx.var_shape(op.output("Out"))
-    method = "bilinear" if op.op_type == "bilinear_interp" else "nearest"
     if method == "bilinear" and op.attrs.get("align_corners", False):
         # jax.image has no align_corners; gather-based exact impl
         ih, iw = x.shape[1], x.shape[2]

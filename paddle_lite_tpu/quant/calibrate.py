@@ -31,8 +31,11 @@ TRANSPARENT_OPS = (
     "unsqueeze", "unsqueeze2", "transpose", "transpose2",
     "split",  # slices share the input's scale (QKV-fused GEMM outputs)
 )
-# pool2d is int8-in/int8-out with the same scale (max exactly; avg rounds)
-PASSTHROUGH_OPS = TRANSPARENT_OPS + ("pool2d",)
+# pool2d is int8-in/int8-out with the same scale (max exactly; avg rounds);
+# nearest_interp copies values exactly (pure data movement — bilinear does
+# NOT qualify: its blend weights change values)
+PASSTHROUGH_OPS = TRANSPARENT_OPS + ("pool2d", "nearest_interp",
+                                     "nearest_interp_v2")
 
 
 def vars_needing_scales(graph: Graph) -> List[str]:

@@ -310,7 +310,11 @@ def _consumers_accept_int8(graph: Graph, var_name: str, memo: dict) -> bool:
             # residual operands are fine as int8: the conv epilogue
             # inline-dequantizes them (XLA fuses it), and int8 shortcut
             # edges carry 4x less HBM traffic through a ResNet stage
-        elif op.op_type in PASSTHROUGH_OPS:
+        elif op.op_type in PASSTHROUGH_OPS or op.op_type == "concat":
+            # concat is conditionally int8: the kernel requants every input
+            # to a common (max) scale in-register, so it accepts int8 iff
+            # its own consumers do (the reference's int8 concat kernel,
+            # lite/kernels/arm/concat_compute.cc with requant)
             ok = all(
                 _consumers_accept_int8(graph, out, memo)
                 for out in op.output_names()
@@ -364,6 +368,24 @@ def _assign_int8_regions(graph: Graph, act_scales: Dict[str, float]) -> None:
                     out_var.ttype = dataclasses.replace(
                         out_var.ttype, precision=Precision.INT8
                     )
+        elif op.op_type == "concat":
+            # int8 concat: when every input arrives int8 and downstream
+            # accepts int8, emit int8 at the max input scale — each input
+            # requants by s_in/s_out <= 1 in-register (VPU work XLA fuses),
+            # no fp32 materialization of the concatenated map.  Mixed or
+            # fp-consumer cases keep the fp32 path (kernel dequantizes).
+            in_vars = [graph.vars[n] for n in op.input_names()]
+            out_name = op.output_names()[0]
+            if (all(v.precision == Precision.INT8 and v.quant is not None
+                    and not v.is_weight for v in in_vars)
+                    and _consumers_accept_int8(graph, out_name, memo)):
+                scale = max(float(v.quant.scale[0]) for v in in_vars)
+                op.attrs["out_scale"] = scale
+                out_var = graph.vars[out_name]
+                out_var.quant = QuantInfo.per_tensor(scale)
+                out_var.ttype = dataclasses.replace(
+                    out_var.ttype, precision=Precision.INT8
+                )
         elif (slot := _gate_mul_data_slot(graph, op)) is not None:
             # SE gated multiply: int8 data in -> int8 out (one fused kernel)
             in_var = graph.vars[op.input(slot)]

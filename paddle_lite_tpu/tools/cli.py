@@ -109,7 +109,8 @@ def cmd_tune(args) -> None:
                       if np.issubdtype(dt, np.integer)
                       else rng.normal(size=shape).astype(dt))
     optimize(g, quant=QuantConfig(), calib_batches=[feed])
-    results = tune_cache.tune_graph(g, verbose=True)
+    results = tune_cache.tune_graph(g, verbose=True,
+                                    sweep_blocks=args.sweep_blocks)
     if args.validate:
         # standalone winners are candidates only: re-pick with the fresh
         # table, then A/B each Pallas bucket inside the whole jitted model
@@ -185,6 +186,9 @@ def main(argv=None) -> None:
                    help="A/B each Pallas pick inside the whole model and "
                         "demote standalone-only winners (required before "
                         "shipping a table)")
+    t.add_argument("--sweep-blocks", action="store_true",
+                   help="measure candidate Pallas block tilings per GEMM "
+                        "bucket before racing against XLA")
     t.set_defaults(fn=cmd_tune)
 
     args = p.parse_args(argv)

@@ -35,6 +35,10 @@ def winograd_f23(x, w):
     """x (N,H,W,C) bf16, w (3,3,C,K) bf16 -> (N,H,W,K). Stride-1, pad SAME."""
     n, h, wd, c = x.shape
     k = w.shape[-1]
+    h_in, w_in = h, wd
+    if h % 2 or wd % 2:  # odd extents (ResNet 7x7 stage): pad, crop after
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, wd % 2), (0, 0)))
+        n, h, wd, c = x.shape
     th, tw = h // 2, wd // 2
     # pad 2 on the trailing edge: the (i=3, j=3) tile-offset slices read
     # [3, 3+2*th) and dynamic_slice CLAMPS an out-of-bounds start (silently
@@ -62,7 +66,7 @@ def winograd_f23(x, w):
     # A^T m A; output order (n, t, i, w, l, c) interleaves tile row/col
     # directly — (t,i)→H and (w,l)→W merge in the reshape
     y = jnp.einsum("ij,jkntwc,lk->ntiwlc", at, m, at)
-    return y.reshape(n, 2 * th, 2 * tw, k)
+    return y.reshape(n, 2 * th, 2 * tw, k)[:, :h_in, :w_in]
 
 
 def direct(x, w, pet):
