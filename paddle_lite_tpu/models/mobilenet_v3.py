@@ -43,14 +43,18 @@ def _se(b: GraphBuilder, x: str, reduce_ratio: int = 4) -> str:
 
 
 def _block(b: GraphBuilder, x: str, kernel: int, exp: int, out_c: int,
-           use_se: bool, act: str, stride: int) -> str:
+           use_se: bool, act: str, stride: int,
+           skip_dw: bool = False) -> str:
     in_c = b.g.vars[x].shape[-1]
     shortcut = x if (stride == 1 and in_c == out_c) else None
     y = x
     if exp != in_c:
         y = b.conv_bn_act(y, exp, 1, act=act)
-    y = b.conv_bn_act(y, exp, kernel, stride=stride, padding=kernel // 2,
-                      depthwise=True, act=act)
+    if skip_dw and stride == 1:
+        pass  # ablation: drop the (stride-1) depthwise stage entirely
+    else:
+        y = b.conv_bn_act(y, exp, kernel, stride=stride, padding=kernel // 2,
+                          depthwise=True, act=act)
     if use_se:
         y = _se(b, y)
     y = b.conv2d(y, out_c, 1)
@@ -61,12 +65,23 @@ def _block(b: GraphBuilder, x: str, kernel: int, exp: int, out_c: int,
 
 
 def build(batch: int = 1, image_size: int = 224, num_classes: int = 1000,
-          seed: int = 0, with_softmax: bool = True) -> Graph:
+          seed: int = 0, with_softmax: bool = True,
+          ablate_se: bool = False, ablate_dw: bool = False,
+          ablate_hs: bool = False) -> Graph:
+    """``ablate_*`` drop structural pieces (SE gates / depthwise convs /
+    hard_swish→relu) for whole-model differential cost attribution
+    (tools/studies/mnv3_ablate.py) — prefix-diff attribution proved
+    unreliable here (stem measured 137us in isolation vs 599us attributed),
+    so component costs are measured as end-to-end deltas instead."""
     b = GraphBuilder("mobilenet_v3_large", seed=seed)
     x = b.input("image", (batch, image_size, image_size, 3))
-    x = b.conv_bn_act(x, 16, 3, stride=2, padding=1, act="hard_swish")
+    act0 = "relu" if ablate_hs else "hard_swish"
+    x = b.conv_bn_act(x, 16, 3, stride=2, padding=1, act=act0)
     for kernel, exp, out_c, use_se, act, stride in _BLOCKS:
-        x = _block(b, x, kernel, exp, out_c, use_se, act, stride)
+        if ablate_hs and act == "hard_swish":
+            act = "relu"
+        x = _block(b, x, kernel, exp, out_c, use_se and not ablate_se, act,
+                   stride, skip_dw=ablate_dw)
     x = b.conv_bn_act(x, 960, 1, act="hard_swish")
     x = b.pool2d(x, "avg", global_pooling=True)
     x = b.conv2d(x, 1280, 1, bias=True)

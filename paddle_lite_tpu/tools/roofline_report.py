@@ -42,14 +42,36 @@ _BYTES = {Precision.INT8: 1, Precision.BF16: 2, Precision.FP16: 2,
           Precision.FP32: 4, Precision.INT32: 4, Precision.INT64: 8,
           Precision.BOOL: 1, Precision.INT16: 2}
 
+# native sublane count per element width (tile = (sublanes, 128) lanes)
+_SUBLANES = {1: 32, 2: 16, 4: 8, 8: 8}
 
-def _op_cost(graph: Graph, op, island_bf16: bool):
+
+def _tiled_elems(shape, elem_bytes: int) -> int:
+    """Element count of the TPU tiled layout XLA stores in HBM: minor dim
+    padded to 128 lanes, second-minor padded to the dtype's sublane count
+    (fp32 8, bf16 16, int8 32).  This is where MobileNet-class models pay a
+    hidden tax the dense-bytes roofline cannot see: a (64,7,7,960) int8
+    tensor pads 7->32 sublanes (4.6x), cancelling int8's 4x byte advantage
+    exactly where fp32 pays only 7->8; and thin-channel heads (C in 16..40)
+    pad 128/C on the lane axis for BOTH precisions."""
+    if not shape:
+        return 1
+    sub = _SUBLANES.get(elem_bytes, 8)
+    dims = list(shape)
+    dims[-1] = -(-dims[-1] // 128) * 128
+    if len(dims) >= 2:
+        dims[-2] = -(-dims[-2] // sub) * sub
+    return int(np.prod(dims))
+
+
+def _op_cost(graph: Graph, op, island_bf16: bool, tiled: bool = False):
     def nbytes(name):
         v = graph.vars[name]
-        n = int(np.prod(v.shape)) if v.shape else 1
         b = _BYTES.get(v.precision, 4)
         if island_bf16 and v.precision == Precision.FP32 and not v.is_weight:
             b = 2
+        n = (_tiled_elems(v.shape, b) if tiled
+             else (int(np.prod(v.shape)) if v.shape else 1))
         return n * b
 
     traffic = sum(nbytes(n) for n in op.input_names())
@@ -79,14 +101,15 @@ def _op_cost(graph: Graph, op, island_bf16: bool):
 
 
 def roofline_report(graph: Graph, *, island_bf16: Optional[bool] = None,
-                    profile: Optional[Dict[int, dict]] = None) -> dict:
+                    profile: Optional[Dict[int, dict]] = None,
+                    tiled: bool = False) -> dict:
     if island_bf16 is None:
         island_bf16 = graph.meta.get("island_dtype") == "bfloat16"
     per_op = []
     by_type: Dict[str, list] = {}
     total = 0.0
     for op in graph.topological_order():
-        traffic, flops, t = _op_cost(graph, op, island_bf16)
+        traffic, flops, t = _op_cost(graph, op, island_bf16, tiled=tiled)
         total += t
         meas = profile.get(op.id, {}).get("ms") if profile else None
         per_op.append({"id": op.id, "op": op.op_type,
@@ -129,6 +152,10 @@ def main() -> None:
     p.add_argument("--profile", default=None,
                    help="tools/profile JSONL to join (measured ms per op id)")
     p.add_argument("--per-op", action="store_true")
+    p.add_argument("--tiled", action="store_true",
+                   help="count HBM bytes at the TPU tiled layout (lane pad "
+                        "to 128, sublane pad to 8/16/32 by dtype) instead "
+                        "of dense bytes")
     args = p.parse_args()
     jax.config.update("jax_platforms", "cpu")  # analysis only — never uses TPU
 
@@ -157,7 +184,7 @@ def main() -> None:
     prof = None
     if args.profile:
         prof = {r["id"]: r for r in map(json.loads, open(args.profile))}
-    rep = roofline_report(g, profile=prof)
+    rep = roofline_report(g, profile=prof, tiled=args.tiled)
     if not args.per_op:
         rep.pop("per_op")
     print(json.dumps(rep, indent=1))
