@@ -63,6 +63,19 @@ def choose_kernel(graph, op) -> Optional[str]:
         # Jacobi round — measured 7.6ms of the 10.0ms SSD-MobileNetV1 b32
         # batch. Not int8-gated: NMS runs in the fp island either way.
         return "pallas"
+    if op.op_type == "bidirectional_gru":
+        # fp-island op (not int8-gated): the VMEM-resident scan kernel
+        # (gru_scan.py) vs XLA's per-step-HBM lax.scan, measured per
+        # (T, B, 3H) shape like every other table entry
+        from . import gru_scan, tune_cache
+
+        x = graph.vars[op.input("Input")]
+        b, t, three_h = x.shape
+        if gru_scan.supported(t, b, three_h, 4,
+                              op.attrs.get("gate_activation", "sigmoid"),
+                              op.attrs.get("activation", "tanh")):
+            return tune_cache.lookup_bigru(t, b, three_h) or "xla"
+        return None
     if not op.attrs.get("enable_int8"):
         return None
     if op.op_type == "depthwise_conv2d":

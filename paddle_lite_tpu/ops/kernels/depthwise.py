@@ -358,9 +358,19 @@ def supported_general(op_attrs, x_shape, w_shape) -> bool:
     dil = normalize_2d(op_attrs.get("dilations", (1, 1)))
     pads = normalize_paddings(op_attrs.get("paddings", (0, 0)))
     p = (kh - 1) // 2
+    # VMEM feasibility: each grid step holds the whole padded input slab,
+    # the output slab, and a row-chunk int32 accumulator — DBNet-class
+    # 320x320 maps (13MB input slab alone) crash the Mosaic compile
+    h, w = x_shape[1], x_shape[2]
+    s = strides[0]
+    out_b = 4 if op_attrs.get("out_scale") is None else 1
+    slab = (h + kh - 1) * (w + kw - 1) * _BC          # int8 input
+    out = (h // s) * (w // s) * _BC * out_b
+    acc = 16 * (w + kh - 1) * _BC * 4
     return (
         kh == kw and kh in (3, 5)
         and strides in ((1, 1), (2, 2)) and strides[0] == strides[1]
         and dil == (1, 1)
         and pads == ((p, p), (p, p))
+        and slab + out + acc <= 9 * 1024 * 1024
     )

@@ -247,6 +247,29 @@ def tune_graph(graph, *, verbose: bool = False,
     results: Dict[str, str] = {}
     seen = set()
     for op in graph.ops:
+        if op.op_type == "bidirectional_gru":
+            from . import gru_scan
+
+            x = graph.vars[op.input("Input")]
+            b, t, three_h = x.shape
+            if not gru_scan.supported(
+                    t, b, three_h, 4,
+                    op.attrs.get("gate_activation", "sigmoid"),
+                    op.attrs.get("activation", "tanh")):
+                continue
+            key = _bigru_key(t, b, three_h)
+            if key in seen:
+                continue
+            seen.add(key)
+            try:
+                results[key] = measure_bigru(t, b, three_h, verbose=verbose)
+            except Exception as e:  # Mosaic/compile rejection → XLA
+                if verbose:
+                    print(f"  {key}: measure failed ({type(e).__name__}) "
+                          "-> xla", flush=True)
+                _store({key: "xla"})
+                results[key] = "xla"
+            continue
         if not op.attrs.get("enable_int8"):
             continue
         if op.op_type == "depthwise_conv2d":
@@ -264,8 +287,15 @@ def tune_graph(graph, *, verbose: bool = False,
             if key in seen:
                 continue
             seen.add(key)
-            results[key] = measure_dw(x.shape[0], x.shape[1], x.shape[3],
-                                      k=k, s=s, verbose=verbose)
+            try:
+                results[key] = measure_dw(x.shape[0], x.shape[1], x.shape[3],
+                                          k=k, s=s, verbose=verbose)
+            except Exception as e:  # Mosaic/compile rejection → XLA
+                if verbose:
+                    print(f"  {key}: measure failed ({type(e).__name__}) "
+                          "-> xla", flush=True)
+                _store({key: "xla"})
+                results[key] = "xla"
             continue
         prob = _gemm_problem(graph, op)
         if prob is None:
@@ -274,9 +304,16 @@ def tune_graph(graph, *, verbose: bool = False,
         if key in seen:
             continue
         seen.add(key)
-        if sweep_blocks:
-            sweep_gemm_blocks(*prob, verbose=verbose)
-        results[key] = measure_gemm(*prob, verbose=verbose)
+        try:
+            if sweep_blocks:
+                sweep_gemm_blocks(*prob, verbose=verbose)
+            results[key] = measure_gemm(*prob, verbose=verbose)
+        except Exception as e:  # Mosaic/compile rejection → XLA
+            if verbose:
+                print(f"  {key}: measure failed ({type(e).__name__}) -> xla",
+                      flush=True)
+            _store({key: "xla"})
+            results[key] = "xla"
     return results
 
 
@@ -285,6 +322,10 @@ def _op_table_key(graph, op) -> Optional[str]:
     for ops whose pick is not table-driven (e.g. the NMS Pallas kernel)."""
     from .autotune import _gemm_problem
 
+    if op.op_type == "bidirectional_gru":
+        x = graph.vars[op.input("Input")]
+        b, t, three_h = x.shape
+        return _bigru_key(t, b, three_h)
     if op.op_type == "depthwise_conv2d":
         x = graph.vars[op.input("Input")]
         w = graph.vars[op.input("Filter")]
@@ -346,6 +387,98 @@ def validate_in_model(graph, feed, *, min_win: float = 1.01,
     if persist:
         _store(decisions)
     return decisions
+
+
+def _bigru_key(t: int, b: int, three_h: int) -> str:
+    return f"bigru_{_bucket(t)}x{_bucket(b)}x{_bucket(three_h)}"
+
+
+def lookup_bigru(t: int, b: int, three_h: int) -> Optional[str]:
+    return _load().get(_bigru_key(t, b, three_h))
+
+
+def measure_bigru(t: int, b: int, three_h: int, *, dtype="bfloat16",
+                  verbose: bool = False) -> str:
+    """Time the VMEM-resident Pallas bigru scan vs the XLA lax.scan lowering
+    for a (T, B, 3H) problem (both directions; fp32 compute either way)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .gru_scan import bigru_pallas
+
+    h = three_h // 3
+    rng = np.random.default_rng(0)
+    dt = jnp.dtype(dtype)
+    x_fw = jax.device_put(rng.normal(size=(t, b, three_h)).astype(dt))
+    x_bw = jax.device_put(rng.normal(size=(t, b, three_h)).astype(dt))
+    w_fw = jax.device_put((rng.normal(size=(h, three_h)) * 0.1).astype(dt))
+    w_bw = jax.device_put((rng.normal(size=(h, three_h)) * 0.1).astype(dt))
+    interp = jax.default_backend() != "tpu"
+
+    def one_pallas(xc):
+        a, bw_ = bigru_pallas(xc, x_bw, w_fw, w_bw, interpret=interp)
+        return jnp.concatenate([a, bw_], axis=-1)
+
+    def one_xla(xc):
+        def direction(x_d, w_d):
+            w_g, w_c = w_d[:, : 2 * h], w_d[:, 2 * h:]
+
+            def step(h_prev, x_t):
+                x32 = x_t.astype(jnp.float32)
+                g = x32[:, : 2 * h] + h_prev @ w_g.astype(jnp.float32)
+                u = jax.nn.sigmoid(g[:, :h])
+                r = jax.nn.sigmoid(g[:, h:])
+                c = jnp.tanh(x32[:, 2 * h:]
+                             + (r * h_prev) @ w_c.astype(jnp.float32))
+                hn = u * h_prev + (1.0 - u) * c
+                return hn, hn.astype(x_t.dtype)
+
+            init = jnp.zeros((b, h), jnp.float32)
+            _, hs = jax.lax.scan(step, init, x_d)
+            return hs
+
+        outs = jax.vmap(direction)(jnp.stack([xc, x_bw]),
+                                   jnp.stack([w_fw, w_bw]))
+        return jnp.concatenate([outs[0], outs[1]], axis=-1)
+
+    def timed(one, min_window: float = 0.25):
+        @jax.jit
+        def looped(xc, it):
+            def body(i, carry):
+                out = one(carry)
+                return carry.at[0, 0, 0].set(
+                    carry[0, 0, 0] + out[0, 0, 0] * 1e-12)
+
+            return jnp.sum(jax.lax.fori_loop(0, it, body, xc)[0, 0, :1]
+                           .astype(jnp.float32))
+
+        def tt(it):
+            t0 = time.perf_counter()
+            float(jax.device_get(looped(x_fw, jnp.int32(it))))
+            return time.perf_counter() - t0
+
+        tt(1)
+        import numpy as _np
+        loop = 16
+        while True:
+            d = float(_np.median([tt(1 + loop) - tt(1) for _ in range(3)]))
+            if d >= min_window or loop >= 1 << 20:
+                break
+            loop = min(max(int(loop * min_window * 1.3 / max(d, 1e-4)) + 1,
+                           loop * 2), 1 << 20)
+        deltas = [tt(1 + loop) - tt(1) for _ in range(3)]
+        good = [v for v in deltas if v > min_window / 4] or deltas
+        return float(_np.median(good)) / loop
+
+    t_pallas = timed(one_pallas)
+    t_xla = timed(one_xla)
+    winner = "pallas" if t_pallas < t_xla else "xla"
+    if verbose:
+        print(f"bigru ({t},{b},{three_h}) pallas {t_pallas*1e6:.1f}us "
+              f"xla {t_xla*1e6:.1f}us -> {winner}", flush=True)
+    _store({_bigru_key(t, b, three_h): winner})
+    return winner
 
 
 def _dw_key(h: int, c: int, k: int = 3, s: int = 1) -> str:

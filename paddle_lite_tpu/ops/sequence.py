@@ -291,6 +291,40 @@ def bigru_xla(ctx, op, ins):
     return {"Hidden": [jnp.concatenate([fw, bw], axis=-1)]}
 
 
+@OPS.kernel("bidirectional_gru", "pallas")
+def bigru_pallas_kernel(ctx, op, ins):
+    """VMEM-resident recurrence (ops/kernels/gru_scan.py): the whole T-step
+    scan runs inside ONE Pallas kernel with weights + hidden state resident,
+    vs the XLA scan's per-step HBM round trips.  Falls back to the XLA impl
+    when shapes/activations fall outside the kernel's feasibility gate."""
+    from .kernels import gru_scan
+
+    x_fw = ins["Input"][0]
+    x_bw = ins["InputRev"][0]
+    attrs = op.attrs
+    b_, t, three_h = x_fw.shape
+    if not gru_scan.supported(t, b_, three_h, x_fw.dtype.itemsize,
+                              attrs.get("gate_activation", "sigmoid"),
+                              attrs.get("activation", "tanh")):
+        return bigru_xla(ctx, op, ins)
+    w_fw = ins["WeightFw"][0]
+    w_bw = ins["WeightBw"][0]
+    b_fw = ins.get("BiasFw", [None])[0]
+    b_bw = ins.get("BiasBw", [None])[0]
+    if b_fw is not None:
+        x_fw = x_fw + b_fw
+    if b_bw is not None:
+        x_bw = x_bw + b_bw
+    h = three_h // 3
+    xt_fw = jnp.swapaxes(x_fw, 0, 1)                  # (T, B, 3H)
+    xt_bw = jnp.swapaxes(jnp.flip(x_bw, axis=1), 0, 1)
+    hs_fw, hs_bw = gru_scan.bigru_pallas(
+        xt_fw, xt_bw, w_fw, w_bw, interpret=ctx.platform != "tpu")
+    fw = jnp.swapaxes(hs_fw, 0, 1)                    # (B, T, H)
+    bw = jnp.flip(jnp.swapaxes(hs_bw, 0, 1), axis=1)
+    return {"Hidden": [jnp.concatenate([fw, bw], axis=-1)]}
+
+
 # ---------------------------------------------------------------------------
 # gru_unit — one GRU step (the op the reference's while-based decoders chain;
 # analog of lite/operators/gru_unit_op.cc). Same gate layout as `gru`.

@@ -28,7 +28,14 @@ JOBS = [
     ("ppocr_det", 4, 640, False),
     ("resnet", 32, 224, True),
     ("mobilenet_v1", 64, 224, True),
+    ("ppocr_rec", 64, 320, False),
 ]
+
+import sys  # noqa: E402
+
+if len(sys.argv) > 1:  # tune only the named models (queue-chain reruns)
+    names = set(sys.argv[1:])
+    JOBS = [j for j in JOBS if j[0] in names]
 
 
 def make_feed(g, rng):
