@@ -30,12 +30,13 @@ BATCH, LEN = 32, 128
 rng = np.random.default_rng(0)
 
 
-def bench(aa: bool, island: str) -> float:
+def bench(aa: bool, island: str, gelu_approx: bool = True) -> float:
     g = ernie_tiny.build(batch=BATCH, seq_len=LEN)
     feed = {n: rng.integers(0, 100, g.vars[n].shape).astype(np.int32)
             for n in g.inputs}
     optimize(g, quant=QuantConfig(quant_act_act_matmul=aa,
-                                  island_dtype=island),
+                                  island_dtype=island,
+                                  gelu_approximate=gelu_approx),
              calib_batches=[feed])
     return device_throughput(g, feed)
 
@@ -46,5 +47,11 @@ for aa in (False, True):
         v = bench(aa, island)
         rows.append({"act_act": aa, "island": island, "seqs_per_s": v})
         print(json.dumps(rows[-1]), flush=True)
+# isolate the gelu-approximation effect at the winning act-act setting
+for aa in (False, True):
+    v = bench(aa, "bfloat16", gelu_approx=False)
+    rows.append({"act_act": aa, "island": "bfloat16", "gelu": "exact",
+                 "seqs_per_s": v})
+    print(json.dumps(rows[-1]), flush=True)
 with open("/tmp/ernie_ab.json", "w") as f:
     json.dump(rows, f, indent=1)

@@ -8,6 +8,6 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 cd /root/repo
 
-timeout 5400 python tools/studies/tune_r3.py ppocr_det resnet mobilenet_v1 ppocr_rec > /tmp/tune_r3b.log 2>&1
+timeout 7200 python tools/studies/tune_r3.py ppocr_det resnet mobilenet_v1 ppocr_rec ernie_tiny > /tmp/tune_r3b.log 2>&1
 timeout 2400 python tools/studies/ernie_ab.py > /tmp/ernie_ab.log 2>&1
 echo CHAIN2_DONE

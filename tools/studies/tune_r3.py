@@ -29,6 +29,7 @@ JOBS = [
     ("resnet", 32, 224, True),
     ("mobilenet_v1", 64, 224, True),
     ("ppocr_rec", 64, 320, False),
+    ("ernie_tiny", 32, 128, True),
 ]
 
 import sys  # noqa: E402
@@ -55,7 +56,10 @@ def main():
     for model, batch, size, sweep in JOBS:
         print(f"=== tune {model} b{batch} {size} sweep_blocks={sweep} ===",
               flush=True)
-        g = resolve_builder(model)(batch=batch, image_size=size)
+        if model == "ernie_tiny":
+            g = resolve_builder(model)(batch=batch, seq_len=size)
+        else:
+            g = resolve_builder(model)(batch=batch, image_size=size)
         feed = make_feed(g, rng)
         optimize(g, quant=QuantConfig(), calib_batches=[feed])
         results = tune_cache.tune_graph(g, verbose=True, sweep_blocks=sweep)
