@@ -157,10 +157,14 @@ def dw_conv3x3s1_int8(
 
 
 def supported(op_attrs, x_shape, w_shape) -> bool:
-    """Static eligibility: 3x3, stride 1, SAME padding (1,1), dilation 1."""
+    """Static eligibility: 3x3, stride 1, SAME padding (1,1), dilation 1,
+    channel multiplier 1 (CRNN's stem uses multiplier-2 depthwise, which
+    this kernel's C→C tap layout cannot express)."""
     from ..common import normalize_2d, normalize_paddings
 
     kh, kw = w_shape[0], w_shape[1]
+    if w_shape[-1] != x_shape[-1]:  # multiplier != 1
+        return False
     strides = normalize_2d(op_attrs.get("strides", (1, 1)))
     dil = normalize_2d(op_attrs.get("dilations", (1, 1)))
     pads = normalize_paddings(op_attrs.get("paddings", (0, 0)))
@@ -350,10 +354,13 @@ def dw_conv_int8(
 
 
 def supported_general(op_attrs, x_shape, w_shape) -> bool:
-    """k in {3,5} square, stride in {1,2} uniform, SAME padding, no dilation."""
+    """k in {3,5} square, stride in {1,2} uniform, SAME padding, no
+    dilation, channel multiplier 1 (see ``supported``)."""
     from ..common import normalize_2d, normalize_paddings
 
     kh, kw = w_shape[0], w_shape[1]
+    if w_shape[-1] != x_shape[-1]:  # multiplier != 1
+        return False
     strides = normalize_2d(op_attrs.get("strides", (1, 1)))
     dil = normalize_2d(op_attrs.get("dilations", (1, 1)))
     pads = normalize_paddings(op_attrs.get("paddings", (0, 0)))

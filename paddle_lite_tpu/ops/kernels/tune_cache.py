@@ -252,8 +252,13 @@ def tune_graph(graph, *, verbose: bool = False,
 
             x = graph.vars[op.input("Input")]
             b, t, three_h = x.shape
+            # gate with itemsize 2: measure_bigru times the bf16 variant
+            # (the dtype CRNN actually serves under bf16 islands); the
+            # serving-time route re-checks VMEM fit at the op's real dtype
+            # (sequence.py), so an entry measured here is never applied to
+            # an fp32 scan that wouldn't fit
             if not gru_scan.supported(
-                    t, b, three_h, 4,
+                    t, b, three_h, 2,
                     op.attrs.get("gate_activation", "sigmoid"),
                     op.attrs.get("activation", "tanh")):
                 continue

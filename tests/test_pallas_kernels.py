@@ -185,6 +185,23 @@ def test_dw_general_kernel_matches_xla(rng):
         np.testing.assert_allclose(got, ref, atol=1e-3)
 
 
+def test_dw_multiplier2_not_eligible():
+    """CRNN's stem uses multiplier-2 depthwise (filter out-channels = 2x
+    input channels); the Pallas C->C tap layout cannot express it, and
+    routing it there corrupted downstream shapes (found by the round-3
+    in-model tune on ppocr_rec).  Both eligibility predicates must reject
+    any filter whose last dim differs from the input channel count."""
+    from paddle_lite_tpu.ops.kernels.depthwise import (supported,
+                                                       supported_general)
+
+    attrs = {"strides": [1, 1], "paddings": [1, 1]}
+    x_shape, w2_shape = (8, 16, 160, 32), (3, 3, 1, 64)  # multiplier 2
+    assert not supported(attrs, x_shape, w2_shape)
+    assert not supported_general(attrs, x_shape, w2_shape)
+    assert supported(attrs, x_shape, (3, 3, 1, 32))
+    assert supported_general(attrs, x_shape, (3, 3, 1, 32))
+
+
 def test_nms_kernel_matches_greedy_and_xla(rng):
     """Pallas VMEM NMS core vs (a) the sequential greedy numpy reference and
     (b) the XLA Jacobi fixed point — exact keep-set + score parity."""

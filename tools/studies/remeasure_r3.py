@@ -35,10 +35,18 @@ CONFIGS = [
 
 
 def main():
+    import sys
+
     out_path = os.path.join(os.path.dirname(__file__), "..", "..",
                             "docs", "bench_rows_r3.jsonl")
+    configs = CONFIGS
+    note = None
+    if len(sys.argv) > 1:  # re-measure only the named models (post-tune)
+        names = set(sys.argv[1:])
+        configs = [c for c in CONFIGS if c[0] in names]
+        note = "partial re-measure " + ",".join(sorted(names))
     rows = []
-    for model, batch, size in CONFIGS:
+    for model, batch, size in configs:
         kw = dict(batch=batch)
         if model == "ernie_tiny":
             kw["seq_len"] = size
@@ -58,9 +66,12 @@ def main():
                               if row["int8_bf16_islands"]
                               >= row["int8_fp32_islands"] else "float32")
         row["speedup"] = round(row["int8_best"] / row["fp32"], 3)
+        if note:
+            row["note"] = note
         rows.append(row)
         print(json.dumps(row), flush=True)
-    with open(out_path, "w") as f:
+    # full runs rewrite the snapshot; filtered runs append annotated rows
+    with open(out_path, "a" if note else "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
     print("wrote", os.path.normpath(out_path), flush=True)
