@@ -1,0 +1,13 @@
+#!/bin/bash
+# Round-3 serial TPU chain, part 4: rerun the ppocr_rec/ernie_tiny tunes
+# (part 3's crashed on CRNN's multiplier-2 depthwise, fixed in f758750),
+# then re-measure the rows those tables feed.
+# NEVER edit this file while it runs (bash reads incrementally).
+set -x
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+cd /root/repo
+
+timeout 4800 python tools/studies/tune_r3.py ppocr_rec ernie_tiny > /tmp/tune_r3_d.log 2>&1
+timeout 3600 python tools/studies/remeasure_r3.py ppocr_rec ernie_tiny > /tmp/remeasure_d.log 2>&1
+echo CHAIN4_DONE
