@@ -31,8 +31,9 @@ VOC_LABELS = (
 def make_predictor(image_size: int = 300):
     rng = np.random.default_rng(0)
     g = ssd.build(batch=1, image_size=image_size)
+    from paddle_lite_tpu.models.zoo_config import recommended_quant
     return create_predictor(
-        g, quant=QuantConfig(island_dtype="bfloat16"),
+        g, quant=recommended_quant("ssd"),
         calib_batches=[{
             "image": rng.normal(size=(1, image_size, image_size, 3))
             .astype(np.float32)}])

@@ -52,15 +52,16 @@ def make_pipeline(det_size: int = 320, rec_width: int = 320,
     """Build (det_predictor, rec_predictor) with synthetic calibration."""
     rng = np.random.default_rng(0)
     det_g = build_det(batch=1, image_size=det_size)
+    from paddle_lite_tpu.models.zoo_config import recommended_quant
     det = create_predictor(
-        det_g, quant=QuantConfig(island_dtype="float32"),
+        det_g, quant=recommended_quant("ppocr_det"),
         calib_batches=[{
             "image": rng.normal(size=(1, det_size, det_size, 3))
             .astype(np.float32)}])
     rec_g = build_rec(batch=rec_batch, width=rec_width, hidden=hidden,
                       num_chars=num_chars)
     rec = create_predictor(
-        rec_g, quant=QuantConfig(),
+        rec_g, quant=recommended_quant("ppocr_rec"),
         calib_batches=[{
             "image": rng.normal(size=(rec_batch, 32, rec_width, 3))
             .astype(np.float32)}])

@@ -132,9 +132,11 @@ def dispatch_throughput(graph, feed, *, calls: int = 30) -> float:
 def bench_model(model: str, *, batch: int, image_size: int = 224,
                 int8: bool = True, with_fp32: bool = False,
                 seq_len: int = 128, method: str = "loop",
-                island_dtype: str = "float32",
-                dw_compute: str = "int32") -> dict:
-    from .. import QuantConfig
+                island_dtype: str = "auto",
+                dw_compute: str = "auto") -> dict:
+    """``island_dtype``/``dw_compute`` "auto" = the zoo's measured
+    recommended config (models/zoo_config.py); explicit values override."""
+    from ..models.zoo_config import recommended_quant
     from .opt import optimize
 
     builder = resolve_builder(model)
@@ -168,8 +170,12 @@ def bench_model(model: str, *, batch: int, image_size: int = 224,
     if int8:
         g8 = build()
         feed = make_feed(g8)
-        optimize(g8, quant=QuantConfig(island_dtype=island_dtype,
-                                       depthwise_compute=dw_compute),
+        overrides = {}
+        if island_dtype != "auto":
+            overrides["island_dtype"] = island_dtype
+        if dw_compute != "auto":
+            overrides["depthwise_compute"] = dw_compute
+        optimize(g8, quant=recommended_quant(model, **overrides),
                  calib_batches=[feed])
         result["int8_items_per_sec"] = round(measure(g8, feed), 1)
         if with_fp32:
@@ -191,10 +197,10 @@ def main() -> None:
     p.add_argument("--seq-len", type=int, default=128)
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--method", default="loop", choices=["loop", "dispatch"])
-    p.add_argument("--island-dtype", default="float32",
-                   choices=["float32", "bfloat16"])
-    p.add_argument("--dw-compute", default="int32",
-                   choices=["int32", "bf16"])
+    p.add_argument("--island-dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"])
+    p.add_argument("--dw-compute", default="auto",
+                   choices=["auto", "int32", "bf16"])
     args = p.parse_args()
     print(json.dumps(bench_model(
         args.model, batch=args.batch, image_size=args.image_size,

@@ -39,3 +39,20 @@ def test_resnet50_int8_pipeline(rng):
     got = _run(g, feed)[g.outputs[0]]
     cos = np.sum(got * ref) / (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-12)
     assert cos > 0.98, cos
+
+
+def test_zoo_recommended_quant():
+    """The zoo config registry returns measured per-model QuantConfigs
+    (docs/dbnet_dw_r3.json backs DBNet's dw=float; bench_rows_r3.jsonl
+    backs the island choices); explicit overrides win; unknown models get
+    plain defaults."""
+    from paddle_lite_tpu.models.zoo_config import recommended_quant
+    from paddle_lite_tpu.quant.quantize_pass import QuantConfig
+
+    q = recommended_quant("ppocr_det")
+    assert q.island_dtype == "bfloat16" and q.quant_depthwise is False
+    assert recommended_quant("mobilenet_v1") == QuantConfig()
+    assert recommended_quant("ernie_tiny").island_dtype == "bfloat16"
+    over = recommended_quant("ppocr_det", island_dtype="float32")
+    assert over.island_dtype == "float32" and over.quant_depthwise is False
+    assert recommended_quant("nonexistent_model") == QuantConfig()
