@@ -32,8 +32,11 @@ RECOMMENDED: dict = {
     "resnet": {},                                   # fp32 islands
     "mobilenet_v3": {},                             # fp32 islands (parity note)
     "ssd": {"island_dtype": "bfloat16"},
-    "ppocr_det": {"island_dtype": "bfloat16", "quant_depthwise": False},
-    "dbnet": {"island_dtype": "bfloat16", "quant_depthwise": False},
+    # with dw unquantized the bf16-island edge disappears (1,845 fp32
+    # islands vs 1,830 bf16 — the official r3 re-measure row); fp32 islands
+    # + dw=float is the measured best
+    "ppocr_det": {"quant_depthwise": False},
+    "dbnet": {"quant_depthwise": False},
     "ppocr_rec": {"island_dtype": "bfloat16"},
     "crnn": {"island_dtype": "bfloat16"},
     "ernie_tiny": {"island_dtype": "bfloat16"},

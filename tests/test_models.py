@@ -50,9 +50,9 @@ def test_zoo_recommended_quant():
     from paddle_lite_tpu.quant.quantize_pass import QuantConfig
 
     q = recommended_quant("ppocr_det")
-    assert q.island_dtype == "bfloat16" and q.quant_depthwise is False
+    assert q.island_dtype == "float32" and q.quant_depthwise is False
     assert recommended_quant("mobilenet_v1") == QuantConfig()
     assert recommended_quant("ernie_tiny").island_dtype == "bfloat16"
-    over = recommended_quant("ppocr_det", island_dtype="float32")
-    assert over.island_dtype == "float32" and over.quant_depthwise is False
+    over = recommended_quant("ppocr_det", island_dtype="bfloat16")
+    assert over.island_dtype == "bfloat16" and over.quant_depthwise is False
     assert recommended_quant("nonexistent_model") == QuantConfig()
