@@ -348,9 +348,14 @@ def dbnet_report(*, n_images: int = 8, batch: int = 2, image_size: int = 640,
     report = {"model": "ppocr_det_dbnet", "n_images": n_images,
               "image_size": image_size, "bin_thresh": bin_thresh,
               "variants": {}}
+    from ..models.zoo_config import RECOMMENDED
+
     for name, quant_kw in (("int8", {}),
                            ("int8_bf16_islands",
-                            {"island_dtype": "bfloat16"})):
+                            {"island_dtype": "bfloat16"}),
+                           # the zoo's shipping config (dw kept float)
+                           ("int8_recommended",
+                            dict(RECOMMENDED["ppocr_det"]))):
         g8 = build()
         _optimize_int8(g8, calib, **quant_kw)
         run8 = _compile(g8)
