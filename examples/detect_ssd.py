@@ -17,7 +17,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from paddle_lite_tpu import QuantConfig, cv
+from paddle_lite_tpu import cv
 from paddle_lite_tpu.models import ssd
 from paddle_lite_tpu.runtime.predictor import create_predictor
 

@@ -18,7 +18,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from paddle_lite_tpu import QuantConfig, cv
+from paddle_lite_tpu import cv
 from paddle_lite_tpu.models.ppocr import build_det, build_rec
 from paddle_lite_tpu.runtime.predictor import create_predictor
 from paddle_lite_tpu.tools.db_postprocess import TextBox, extract_boxes

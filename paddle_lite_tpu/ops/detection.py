@@ -409,19 +409,27 @@ def multiclass_nms_pallas(ctx, op, ins):
     boxes = boxes.astype(jnp.float32)
     scores = scores.astype(jnp.float32)
 
-    loc = int(attrs.get("bucket_candidates", 512))
-    if approx == "bucket" and m > loc:
-        # Bucket-max candidate selection: 512 buckets of adjacent priors,
-        # keep each bucket's max (score + its box via an in-bucket one-hot
-        # reduction — no gather: TPU row-gathers measured 1.9 ms at SSD
-        # shapes vs ~0.1 ms for the dense reduction, and approx_max_k's
+    top2 = approx == "bucket2"
+    loc = int(attrs.get("bucket_candidates", 256 if top2 else 512))
+    if approx in ("bucket", "bucket2") and m > loc:
+        # Bucket-max candidate selection: ``loc`` buckets of adjacent
+        # priors, keep each bucket's max (score + its box via an in-bucket
+        # one-hot reduction — no gather: TPU row-gathers measured 1.9 ms at
+        # SSD shapes vs ~0.1 ms for the dense reduction, and approx_max_k's
         # index extraction alone cost 4.1 ms). Priors are spatially
         # ordered, so bucket losers are same-location boxes NMS would
         # suppress anyway — the same rationale as the approx_max_k
         # selection this replaces, one step coarser. The NMS kernel takes
         # candidates UNSORTED (score-comparison precedence). Bucket count
-        # (attr "bucket_candidates", default 512) trades recall for kernel
-        # cost — the IoU build scales with loc^2.
+        # (attr "bucket_candidates") trades recall for kernel cost — the
+        # IoU build scales with candidates^2.
+        #
+        # "bucket2" keeps the TOP-2 of each of loc=256 wider buckets
+        # (same 512-candidate NMS cost as bucket@512): recall losses in
+        # bucket@512 come from two true detections sharing one bucket, and
+        # a second dense max (first max masked out) recovers exactly that
+        # case for the cost of one more (N, C, loc, bs) reduction — still
+        # no gathers, no sort.
         bs = -(-m // loc)
         pad = loc * bs - m
         sc_t = scores.transpose(0, 2, 1)  # (N, C, M)
@@ -429,14 +437,24 @@ def multiclass_nms_pallas(ctx, op, ins):
             sc_t = jnp.pad(sc_t, ((0, 0), (0, 0), (0, pad)),
                            constant_values=-1e30)
         sc_b = sc_t.reshape(n, c, loc, bs)
-        top_s = sc_b.max(axis=-1)                        # (N, C, loc)
-        sel = (sc_b == top_s[..., None])                 # first-max one-hot
-        first = jnp.cumsum(sel, axis=-1) == 1
-        onehot = (sel & first).astype(jnp.float32)       # (N, C, loc, bs)
         bx_pad = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0))) if pad else boxes
         bx_b = bx_pad.reshape(n, 1, loc, bs, 4)
-        cand = jnp.sum(onehot[..., None] * bx_b, axis=3)  # (N, C, loc, 4)
-        k = loc
+
+        def bucket_max(sb):
+            top = sb.max(axis=-1)                        # (N, C, loc)
+            sel = (sb == top[..., None])                 # first-max one-hot
+            first = jnp.cumsum(sel, axis=-1) == 1
+            onehot = (sel & first)                       # (N, C, loc, bs)
+            cnd = jnp.sum(onehot.astype(jnp.float32)[..., None] * bx_b,
+                          axis=3)                        # (N, C, loc, 4)
+            return top, onehot, cnd
+
+        top_s, oh1, cand = bucket_max(sc_b)
+        if top2:
+            t2, _, c2 = bucket_max(jnp.where(oh1, -jnp.inf, sc_b))
+            top_s = jnp.concatenate([top_s, t2], axis=-1)   # (N, C, 2*loc)
+            cand = jnp.concatenate([cand, c2], axis=2)      # (N, C, 2*loc, 4)
+        k = top_s.shape[-1]
     else:
         def top_candidates(sc_col, bx):  # (M,), (M,4) -> (k,), (k,4)
             if approx and k < m:

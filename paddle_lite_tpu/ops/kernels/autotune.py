@@ -71,10 +71,14 @@ def choose_kernel(graph, op) -> Optional[str]:
 
         x = graph.vars[op.input("Input")]
         b, t, three_h = x.shape
-        if gru_scan.supported(t, b, three_h, 4,
+        # dtype-qualified lookup: bf16-island scans consult the bf16-
+        # measured entry, fp32 scans the fp32 one (a bf16 winner says
+        # nothing about the fp32 balance — VMEM and HBM bytes both double)
+        itemsize = 2 if graph.meta.get("island_dtype") == "bfloat16" else 4
+        if gru_scan.supported(t, b, three_h, itemsize,
                               op.attrs.get("gate_activation", "sigmoid"),
                               op.attrs.get("activation", "tanh")):
-            return tune_cache.lookup_bigru(t, b, three_h) or "xla"
+            return tune_cache.lookup_bigru(t, b, three_h, itemsize) or "xla"
         return None
     if not op.attrs.get("enable_int8"):
         return None

@@ -252,22 +252,26 @@ def tune_graph(graph, *, verbose: bool = False,
 
             x = graph.vars[op.input("Input")]
             b, t, three_h = x.shape
-            # gate with itemsize 2: measure_bigru times the bf16 variant
-            # (the dtype CRNN actually serves under bf16 islands); the
-            # serving-time route re-checks VMEM fit at the op's real dtype
-            # (sequence.py), so an entry measured here is never applied to
-            # an fp32 scan that wouldn't fit
+            # measure at the dtype the graph actually serves the scan in
+            # (bf16 islands → bf16, else fp32) and key the entry by it —
+            # a bf16-measured winner must not steer an fp32 scan; the
+            # serving-time route additionally re-checks VMEM fit at the
+            # op's real dtype (sequence.py)
+            dtype = ("bfloat16" if graph.meta.get("island_dtype")
+                     == "bfloat16" else "float32")
+            itemsize = 2 if dtype == "bfloat16" else 4
             if not gru_scan.supported(
-                    t, b, three_h, 2,
+                    t, b, three_h, itemsize,
                     op.attrs.get("gate_activation", "sigmoid"),
                     op.attrs.get("activation", "tanh")):
                 continue
-            key = _bigru_key(t, b, three_h)
+            key = _bigru_key(t, b, three_h, itemsize)
             if key in seen:
                 continue
             seen.add(key)
             try:
-                results[key] = measure_bigru(t, b, three_h, verbose=verbose)
+                results[key] = measure_bigru(t, b, three_h, dtype=dtype,
+                                             verbose=verbose)
             except Exception as e:  # Mosaic/compile rejection → XLA
                 if verbose:
                     print(f"  {key}: measure failed ({type(e).__name__}) "
@@ -330,7 +334,8 @@ def _op_table_key(graph, op) -> Optional[str]:
     if op.op_type == "bidirectional_gru":
         x = graph.vars[op.input("Input")]
         b, t, three_h = x.shape
-        return _bigru_key(t, b, three_h)
+        itemsize = 2 if graph.meta.get("island_dtype") == "bfloat16" else 4
+        return _bigru_key(t, b, three_h, itemsize)
     if op.op_type == "depthwise_conv2d":
         x = graph.vars[op.input("Input")]
         w = graph.vars[op.input("Filter")]
@@ -394,12 +399,18 @@ def validate_in_model(graph, feed, *, min_win: float = 1.01,
     return decisions
 
 
-def _bigru_key(t: int, b: int, three_h: int) -> str:
-    return f"bigru_{_bucket(t)}x{_bucket(b)}x{_bucket(three_h)}"
+def _bigru_key(t: int, b: int, three_h: int, itemsize: int = 2) -> str:
+    # dtype-qualified: a winner measured at bf16 (itemsize 2, the CRNN
+    # serving dtype and the unsuffixed legacy key) must not be applied to
+    # an fp32 scan — the kernel-vs-XLA balance shifts with the itemsize
+    # (VMEM residency and HBM bytes both double), not just VMEM fit
+    suffix = "" if itemsize == 2 else "_f32"
+    return f"bigru{suffix}_{_bucket(t)}x{_bucket(b)}x{_bucket(three_h)}"
 
 
-def lookup_bigru(t: int, b: int, three_h: int) -> Optional[str]:
-    return _load().get(_bigru_key(t, b, three_h))
+def lookup_bigru(t: int, b: int, three_h: int,
+                 itemsize: int = 2) -> Optional[str]:
+    return _load().get(_bigru_key(t, b, three_h, itemsize))
 
 
 def measure_bigru(t: int, b: int, three_h: int, *, dtype="bfloat16",
@@ -482,7 +493,7 @@ def measure_bigru(t: int, b: int, three_h: int, *, dtype="bfloat16",
     if verbose:
         print(f"bigru ({t},{b},{three_h}) pallas {t_pallas*1e6:.1f}us "
               f"xla {t_xla*1e6:.1f}us -> {winner}", flush=True)
-    _store({_bigru_key(t, b, three_h): winner})
+    _store({_bigru_key(t, b, three_h, jnp.dtype(dtype).itemsize): winner})
     return winner
 
 

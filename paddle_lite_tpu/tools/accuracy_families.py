@@ -264,6 +264,9 @@ def ssd_report(*, n_images: int = 64, batch: int = 8, image_size: int = 300,
         "int8_approx_max_k": ("int8", True, 512),     # shipped default
         "int8_bucket512": ("int8", "bucket", 512),
         "int8_bucket256": ("int8", "bucket", 256),
+        # top-2-per-bucket at loc=256: same 512-candidate NMS cost as
+        # bucket512, recovers the two-detections-one-bucket loss mode
+        "int8_bucket2_256": ("int8", "bucket2", 256),
     }
     report = {"model": "ssd_mobilenet_v1", "n_images": n_images,
               "image_size": image_size, "iou_match": 0.5,

@@ -133,10 +133,16 @@ def bench_model(model: str, *, batch: int, image_size: int = 224,
                 int8: bool = True, with_fp32: bool = False,
                 seq_len: int = 128, method: str = "loop",
                 island_dtype: str = "auto",
-                dw_compute: str = "auto") -> dict:
+                dw_compute: str = "auto",
+                zoo_config: bool = True) -> dict:
     """``island_dtype``/``dw_compute`` "auto" = the zoo's measured
-    recommended config (models/zoo_config.py); explicit values override."""
+    recommended config (models/zoo_config.py); explicit values override.
+    ``zoo_config=False`` ignores the per-model RECOMMENDED table entirely
+    and builds the QuantConfig purely from the explicit CLI values (plain
+    defaults otherwise) — the knob for cross-round comparisons against
+    older explicit-flag runs."""
     from ..models.zoo_config import recommended_quant
+    from ..quant.quantize_pass import QuantConfig
     from .opt import optimize
 
     builder = resolve_builder(model)
@@ -175,8 +181,9 @@ def bench_model(model: str, *, batch: int, image_size: int = 224,
             overrides["island_dtype"] = island_dtype
         if dw_compute != "auto":
             overrides["depthwise_compute"] = dw_compute
-        optimize(g8, quant=recommended_quant(model, **overrides),
-                 calib_batches=[feed])
+        quant = (QuantConfig(**overrides) if not zoo_config
+                 else recommended_quant(model, **overrides))
+        optimize(g8, quant=quant, calib_batches=[feed])
         result["int8_items_per_sec"] = round(measure(g8, feed), 1)
         if with_fp32:
             result["speedup"] = round(
@@ -201,11 +208,16 @@ def main() -> None:
                    choices=["auto", "float32", "bfloat16"])
     p.add_argument("--dw-compute", default="auto",
                    choices=["auto", "int32", "bf16"])
+    p.add_argument("--no-zoo-config", action="store_true",
+                   help="ignore models/zoo_config.py RECOMMENDED; build the "
+                        "QuantConfig purely from the explicit CLI flags "
+                        "(plain defaults, e.g. quant_depthwise=True)")
     args = p.parse_args()
     print(json.dumps(bench_model(
         args.model, batch=args.batch, image_size=args.image_size,
         with_fp32=args.fp32, seq_len=args.seq_len, method=args.method,
-        island_dtype=args.island_dtype, dw_compute=args.dw_compute)))
+        island_dtype=args.island_dtype, dw_compute=args.dw_compute,
+        zoo_config=not args.no_zoo_config)))
 
 
 if __name__ == "__main__":

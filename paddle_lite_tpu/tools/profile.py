@@ -111,6 +111,31 @@ def print_precision_report(fp32_graph, int8_graph, feed, top=None) -> None:
         print(r.row())
 
 
+def _isotonic_fit(xs: List[float]) -> List[float]:
+    """Pool-adjacent-violators: the least-squares *monotone non-decreasing*
+    fit of a sequence.  The cumulative-prefix cost curve is physically
+    non-decreasing in k, but each point carries independent measurement
+    noise; clipping negative consecutive diffs at zero (the old rule)
+    rectifies that noise into a positive bias, so per-op sums exceeded the
+    whole-model number (r3: MNv3 per-type sum 2.44 ms vs 1.79 ms measured
+    whole-model).  Diffs of the PAV fit are non-negative AND telescope
+    exactly to the final prefix's cost, so the parts sum to the whole by
+    construction."""
+    blocks: List[List[float]] = []  # [sum, count]
+    for v in xs:
+        blocks.append([float(v), 1.0])
+        while (len(blocks) > 1
+               and blocks[-2][0] * blocks[-1][1]
+               > blocks[-1][0] * blocks[-2][1]):
+            s, n = blocks.pop()
+            blocks[-1][0] += s
+            blocks[-1][1] += n
+    out: List[float] = []
+    for s, n in blocks:
+        out.extend([s / n] * int(n))
+    return out
+
+
 def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
                    *, min_window: float = 0.3, reps: int = 3,
                    ks: Optional[List[int]] = None,
@@ -124,6 +149,11 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
     a *dynamic* trip count (one compile per prefix, not per window size),
     auto-scaled until the window delta is ``min_window`` seconds (dwarfing
     the ~28ms async-tunnel RTT jitter), median of ``reps``.
+
+    Per-op ``ms`` comes from differencing the *isotonic fit* of the
+    cumulative curve (see :func:`_isotonic_fit`): row sums telescope to the
+    final prefix's cost instead of accumulating rectified noise.  ``ms_raw``
+    keeps the unfitted consecutive delta for debugging.
 
     ``ks``: optional list of prefix lengths (1-based, ascending) to measure —
     e.g. block boundaries — when per-op granularity is too slow; each row
@@ -257,7 +287,7 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
             "k": k,
             "n_ops": k - prev_k,
             "cum_ms": dt * 1e3,
-            "ms": max(dt - prev_cum, 0.0) * 1e3,
+            "ms_raw": (dt - prev_cum) * 1e3,
             "loop": loop,
         }
         results.append(row)
@@ -267,7 +297,25 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
         prev_k = k
         # next prefix costs >= this one per iteration; pre-shrink the window
         loop = max(int(min_window * 1.3 / max(dt, 1e-7)), 8)
+    # monotone fit of the cumulative curve -> per-op diffs that sum to the
+    # final prefix cost (see _isotonic_fit)
+    fit = _isotonic_fit([r["cum_ms"] for r in results])
+    for i, r in enumerate(results):
+        r["cum_ms_fit"] = fit[i]
+        r["ms"] = fit[i] - (fit[i - 1] if i else 0.0)
     return results
+
+
+def per_type_summary(rows: List[dict]) -> List[dict]:
+    """Aggregate latency_report rows by op type, descending cost.  Sums are
+    over the isotonic-fitted per-op ``ms``, so ``sum(t["ms"])`` equals the
+    last row's ``cum_ms_fit`` — the whole-model prefix — by construction."""
+    agg: Dict[str, dict] = {}
+    for r in rows:
+        a = agg.setdefault(r["op"], {"op": r["op"], "ms": 0.0, "rows": 0})
+        a["ms"] += r["ms"]
+        a["rows"] += 1
+    return sorted(agg.values(), key=lambda a: -a["ms"])
 
 
 def _main() -> None:
@@ -329,11 +377,21 @@ def _main() -> None:
     def prog(row):
         f.write(json.dumps(row) + "\n")
         f.flush()
-        print(f"k={row['k']:>3} {row['op']:<18} ms={row['ms']:.4f} "
+        print(f"k={row['k']:>3} {row['op']:<18} ms={row['ms_raw']:.4f} "
               f"cum={row['cum_ms']:.3f}", flush=True)
 
-    latency_report(graph, feed, min_window=args.min_window, progress=prog)
+    rows = latency_report(graph, feed, min_window=args.min_window,
+                          progress=prog)
     f.close()
+    # rewrite with the isotonic-fitted attribution (the incremental rows
+    # above lack it) + a per-type summary whose sum IS the whole model
+    with open(out_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    total = rows[-1]["cum_ms_fit"] if rows else 0.0
+    print(f"-- per-type (sums to the whole-model prefix {total:.3f} ms) --")
+    for t in per_type_summary(rows):
+        print(f"{t['op']:<20} {t['ms']:8.4f} ms  ({t['rows']} ops)")
     print("wrote", out_path)
 
 

@@ -59,3 +59,25 @@ def test_latency_report_smoke(rng):
     assert len(rows) == len(g.ops)
     assert all(r["ms"] >= 0 for r in rows)
     assert [r["op"] for r in rows][:1] == ["conv2d"]
+    # parts sum to the whole by construction (isotonic-fitted attribution)
+    assert abs(sum(r["ms"] for r in rows)
+               - rows[-1]["cum_ms_fit"]) < 1e-9
+
+
+def test_isotonic_fit_and_per_type_sums():
+    """PAV fit: monotone, least-squares, and its diffs telescope — the r3
+    over-counting came from rectifying negative noise diffs at zero."""
+    from paddle_lite_tpu.tools.profile import _isotonic_fit, per_type_summary
+
+    xs = [1.0, 3.0, 2.0, 2.5, 5.0, 4.0]
+    fit = _isotonic_fit(xs)
+    assert all(b >= a - 1e-12 for a, b in zip(fit, fit[1:]))  # monotone
+    assert abs(fit[-1] - max(4.5, fit[-1])) < 1e-9
+    # pooled blocks average their members: [1, (3,2,2.5)->2.5, (5,4)->4.5]
+    assert np.allclose(fit, [1.0, 2.5, 2.5, 2.5, 4.5, 4.5])
+    # already-monotone input is unchanged
+    assert _isotonic_fit([0.5, 1.0, 2.0]) == [0.5, 1.0, 2.0]
+    rows = [{"op": "a", "ms": d, "cum_ms_fit": c}
+            for d, c in zip(np.diff([0.0] + fit), np.cumsum(np.diff([0.0] + fit)))]
+    per_type = per_type_summary(rows)
+    assert abs(sum(t["ms"] for t in per_type) - fit[-1]) < 1e-9

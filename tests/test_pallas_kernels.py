@@ -265,6 +265,58 @@ def test_multiclass_nms_pallas_matches_xla_op(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_multiclass_nms_bucket2_recovers_same_bucket_pairs(rng):
+    """Top-2-per-bucket candidate selection (approx_top_k='bucket2'):
+    at the SAME candidate count k, bucket2 keeps two distinct detections
+    whose priors share one coarse bucket — the exact failure mode of the
+    top-1 bucket tier — and otherwise matches the exact tier."""
+    import jax.numpy as jnp
+
+    from paddle_lite_tpu.core.executor import ExecutionContext
+    from paddle_lite_tpu.ops.detection import (multiclass_nms_pallas,
+                                               multiclass_nms_xla)
+
+    N, M, C = 1, 160, 3
+    # two well-separated strong boxes at adjacent prior slots 40 and 41:
+    # with bucket@32 (bs=5) they share bucket 8; with bucket2@16 (bs=10,
+    # k=32 candidates too) the second max recovers the pair
+    boxes = np.tile(np.array([[0.4, 0.4, 0.5, 0.5]], np.float32), (M, 1))
+    boxes[40] = [0.1, 0.1, 0.3, 0.3]
+    boxes[41] = [0.6, 0.6, 0.9, 0.9]
+    scores = np.zeros((M, C), np.float32)
+    scores[:, 0] = 0.99  # background soaks the rest
+    scores[40, 1] = 0.9
+    scores[41, 1] = 0.8
+    ins = {"BBoxes": [jnp.asarray(boxes)[None]],
+           "Scores": [jnp.asarray(scores)[None]]}
+    ctx = ExecutionContext(graph=None, platform="cpu", interpret=True)
+
+    class Op:
+        op_type = "multiclass_nms"
+
+        def __init__(self, **attrs):
+            self.attrs = {"background_label": 0, "score_threshold": 0.01,
+                          "nms_top_k": 64, "nms_threshold": 0.45,
+                          "keep_top_k": 8, **attrs}
+
+        def input(self, s):
+            return s
+
+    def det_set(out):
+        rows = np.asarray(out)[0]
+        return {(round(r[1], 4), round(r[2], 2)) for r in rows if r[0] >= 0}
+
+    exact = det_set(multiclass_nms_xla(
+        ctx, Op(approx_top_k=False), ins)["Out"][0])
+    top1 = det_set(multiclass_nms_pallas(
+        ctx, Op(approx_top_k="bucket", bucket_candidates=32), ins)["Out"][0])
+    top2 = det_set(multiclass_nms_pallas(
+        ctx, Op(approx_top_k="bucket2", bucket_candidates=16), ins)["Out"][0])
+    assert len(exact) == 2
+    assert top2 == exact          # pair recovered at the same k
+    assert len(top1) == 1         # the top-1 tier drops one of the pair
+
+
 def test_bigru_pallas_matches_scan(rng):
     """VMEM-resident GRU recurrence (ops/kernels/gru_scan.py) vs a numpy
     step-by-step reference, both directions, interpret mode."""

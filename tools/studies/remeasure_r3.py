@@ -70,9 +70,18 @@ def main():
             row["note"] = note
         rows.append(row)
         print(json.dumps(row), flush=True)
-    # full runs rewrite the snapshot; filtered runs append annotated rows
-    with open(out_path, "a" if note else "w") as f:
-        for r in rows:
+    # full runs rewrite the snapshot; filtered runs MERGE by model so the
+    # file never holds a stale row alongside its replacement (consumers
+    # that take the first match per model would read the outdated number)
+    merged = rows
+    if note and os.path.exists(out_path):
+        with open(out_path) as f:
+            old = [json.loads(l) for l in f if l.strip()]
+        fresh = {r["model"]: r for r in rows}
+        merged = [fresh.pop(r["model"], r) for r in old]
+        merged += [r for r in rows if r["model"] in fresh]
+    with open(out_path, "w") as f:
+        for r in merged:
             f.write(json.dumps(r) + "\n")
     print("wrote", os.path.normpath(out_path), flush=True)
 
