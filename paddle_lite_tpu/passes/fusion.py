@@ -315,3 +315,177 @@ def stem_space_to_depth(graph: Graph) -> None:
         conv.attrs["strides"] = [1, 1]
         conv.attrs["paddings"] = [-hmin, pad_h1, -wmin, pad_w1]
         graph.rebuild_links()
+
+
+@register_pass("deconv_pack")
+def deconv_pack(graph: Graph) -> None:
+    """Spatial-in-lanes packing of lane-starved deconv heads (the DBNet
+    prob-map head: 2x2s2 deconv chains down to 1 channel at 640px).
+
+    A non-overlapping deconv (kernel == stride == 2) is exactly a 1x1 conv
+    emitting the 2x2 output block into channels, followed by depth-to-space
+    (the conv2d_transpose kernel already exploits this per-op).  What that
+    per-op form still pays is every DOWNSTREAM op running at the upsampled
+    resolution with 24→1 channels: on TPU the minor (lane) axis tiles to
+    128, so a (640, 640, 1) fp32 map costs up to 128x its true bytes per
+    elementwise pass.  This pass keeps the data PACKED — spatial positions
+    ride the lane axis — and sinks the unpack to the chain end:
+
+      deconv(2x2s2) [-> bn] [-> act] [-> deconv(2x2s2)] [-> act] ...
+        ==>  conv1x1(packed W) -> bn(tiled params) -> act
+             -> conv1x1(block W) -> act -> ONE pixel_shuffle(B)
+
+    Packed channel order is (dy, dx, c) — pixel_shuffle's contract — so a
+    second deconv composes to block B=4 with W'[(d1,c),(2*d1+d2,o)] =
+    w2[d2,c,o] and 1x1 convs sink as kron(I_{B^2}, W).  Exact rewrite
+    (same math, reassociated); applied only where the packed lane count
+    stays <= 128 (i.e. the head was lane-starved to begin with).
+
+    Reference analog: none (TPU tiling-specific); the reference's ARM
+    kernels iterate NCHW rows where a 1-channel 640px map is cheap.
+    """
+    graph.rebuild_links()
+    _SINK_ACTS = _FUSABLE_ACTS + ("sigmoid", "tanh")
+
+    def eligible_deconv(op):
+        w = graph.weights.get(op.input("Filter"))
+        if w is None or w.dtype != np.float32:
+            return None
+        if w.shape[0] != 2 or w.shape[1] != 2:
+            return None
+        a = op.attrs
+        if [int(s) for s in a.get("strides", [1, 1])] != [2, 2]:
+            return None
+        if any(int(p) for p in a.get("paddings", [0, 0])):
+            return None
+        if [int(d) for d in a.get("dilations", [1, 1])] != [1, 1]:
+            return None
+        if int(a.get("groups", 1)) != 1:
+            return None
+        if any(int(p) for p in a.get("output_padding", [0, 0])):
+            return None
+        return w
+
+    def single_consumer(var_name):
+        if var_name in graph.outputs:
+            return None
+        cons = [o for o in graph.ops
+                if var_name in o.input_names()]
+        return cons[0] if len(cons) == 1 else None
+
+    for op in list(graph.ops):
+        if op.op_type != "conv2d_transpose" or op not in graph.ops:
+            continue
+        w = eligible_deconv(op)
+        if w is None or 4 * w.shape[3] > 128:
+            continue
+
+        # T1 -> packed 1x1 conv (in place)
+        ci, oc = w.shape[2], w.shape[3]
+        w_name = op.input("Filter")
+        graph.weights[w_name] = np.ascontiguousarray(
+            w.transpose(2, 0, 1, 3).reshape(1, 1, ci, 4 * oc))
+        graph.vars[w_name].shape = (1, 1, ci, 4 * oc)
+        b_slot = op.maybe_input("Bias")
+        if b_slot:
+            bname = graph.unique_name(b_slot + ".pk")
+            graph.add_weight(bname, np.tile(graph.weights[b_slot], 4))
+            op.inputs["Bias"] = [bname]
+        op.op_type = "conv2d"
+        op.attrs = {"strides": [1, 1], "paddings": [0, 0],
+                    "dilations": [1, 1], "groups": 1}
+        B = 2
+        cur = op.output("Output")
+        n, h2, w2_, _ = graph.vars[cur].shape
+        graph.vars[cur].shape = (n, h2 // 2, w2_ // 2, 4 * oc)
+        cur_orig_shape = (n, h2, w2_, oc)
+        chan = oc  # true (unpacked) channel count of cur
+        last = op
+
+        # sink the unpack down the single-consumer chain
+        while True:
+            nxt = single_consumer(cur)
+            if nxt is None:
+                break
+            if nxt.op_type == "batch_norm":
+                for slot in ("Scale", "Bias", "Mean", "Variance"):
+                    pn = nxt.input(slot)
+                    tn = graph.unique_name(pn + ".pk")
+                    graph.add_weight(
+                        tn, np.tile(np.asarray(graph.weights[pn]), B * B))
+                    nxt.inputs[slot] = [tn]
+            elif nxt.op_type in _SINK_ACTS and list(nxt.inputs) == ["X"]:
+                pass
+            elif nxt.op_type == "conv2d_transpose":
+                w2 = eligible_deconv(nxt)
+                if w2 is None or w2.shape[2] != chan \
+                        or (2 * B) ** 2 * w2.shape[3] > 128:
+                    break
+                oc2 = w2.shape[3]
+                wn = np.zeros((B * B * chan, (2 * B) ** 2 * oc2), np.float32)
+                for d1y in range(B):
+                    for d1x in range(B):
+                        for d2y in range(2):
+                            for d2x in range(2):
+                                i0 = (d1y * B + d1x) * chan
+                                o0 = ((d1y * 2 + d2y) * 2 * B
+                                      + (d1x * 2 + d2x)) * oc2
+                                wn[i0:i0 + chan, o0:o0 + oc2] = w2[d2y, d2x]
+                wname = nxt.input("Filter")
+                graph.weights[wname] = wn.reshape(
+                    1, 1, B * B * chan, (2 * B) ** 2 * oc2)
+                graph.vars[wname].shape = graph.weights[wname].shape
+                bs = nxt.maybe_input("Bias")
+                if bs:
+                    bn2 = graph.unique_name(bs + ".pk")
+                    graph.add_weight(
+                        bn2, np.tile(graph.weights[bs], (2 * B) ** 2))
+                    nxt.inputs["Bias"] = [bn2]
+                nxt.op_type = "conv2d"
+                nxt.attrs = {"strides": [1, 1], "paddings": [0, 0],
+                             "dilations": [1, 1], "groups": 1}
+                B *= 2
+                chan = oc2
+            elif (nxt.op_type == "conv2d"
+                  and graph.weights.get(nxt.input("Filter")) is not None
+                  and graph.vars[nxt.input("Filter")].shape[:2] == (1, 1)
+                  and [int(s) for s in nxt.attrs.get("strides", [1, 1])]
+                  == [1, 1]
+                  and int(nxt.attrs.get("groups", 1)) == 1
+                  and not nxt.maybe_input("ResidualData")
+                  and graph.weights[nxt.input("Filter")].dtype == np.float32
+                  and B * B * graph.vars[nxt.input("Filter")].shape[3] <= 128):
+                wname = nxt.input("Filter")
+                wv = graph.weights[wname][0, 0]  # (ci, oc2)
+                oc2 = wv.shape[1]
+                graph.weights[wname] = np.ascontiguousarray(
+                    np.kron(np.eye(B * B, dtype=np.float32), wv)
+                    .reshape(1, 1, B * B * chan, B * B * oc2))
+                graph.vars[wname].shape = graph.weights[wname].shape
+                bs = nxt.maybe_input("Bias")
+                if bs:
+                    bn2 = graph.unique_name(bs + ".pk")
+                    graph.add_weight(bn2, np.tile(graph.weights[bs], B * B))
+                    nxt.inputs["Bias"] = [bn2]
+                chan = oc2
+            else:
+                break
+            # nxt now produces packed data: shrink its output var
+            out_n = nxt.output_names()[0]
+            on, oh, ow, _ = graph.vars[out_n].shape
+            cur_orig_shape = (on, oh, ow, chan)
+            graph.vars[out_n].shape = (on, oh // B, ow // B, B * B * chan)
+            cur = out_n
+            last = nxt
+
+        # unpack once at the chain end: last op writes a fresh packed var,
+        # pixel_shuffle restores the original name/shape for consumers
+        packed = graph.unique_name(cur + ".packed")
+        graph.add_var(packed, graph.vars[cur].shape)
+        for slot, names in last.outputs.items():
+            last.outputs[slot] = [packed if nm == cur else nm
+                                  for nm in names]
+        graph.vars[cur].shape = cur_orig_shape
+        graph.add_op("pixel_shuffle", {"X": [packed]}, {"Out": [cur]},
+                     {"upscale_factor": B})
+        graph.rebuild_links()

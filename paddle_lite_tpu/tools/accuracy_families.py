@@ -264,9 +264,10 @@ def ssd_report(*, n_images: int = 64, batch: int = 8, image_size: int = 300,
         "int8_approx_max_k": ("int8", True, 512),     # shipped default
         "int8_bucket512": ("int8", "bucket", 512),
         "int8_bucket256": ("int8", "bucket", 256),
-        # top-2-per-bucket at loc=256: same 512-candidate NMS cost as
-        # bucket512, recovers the two-detections-one-bucket loss mode
+        # top-2-per-bucket: same k-candidate NMS cost as top-1 at 2x the
+        # bucket count, recovers the two-detections-one-bucket loss mode
         "int8_bucket2_256": ("int8", "bucket2", 256),
+        "int8_bucket2_192": ("int8", "bucket2", 192),
     }
     report = {"model": "ssd_mobilenet_v1", "n_images": n_images,
               "image_size": image_size, "iou_match": 0.5,
@@ -326,7 +327,7 @@ def ssd_report(*, n_images: int = 64, batch: int = 8, image_size: int = 300,
 # DBNet — mask IoU + box match
 # ---------------------------------------------------------------------------
 
-def dbnet_report(*, n_images: int = 8, batch: int = 2, image_size: int = 640,
+def dbnet_report(*, n_images: int = 24, batch: int = 2, image_size: int = 640,
                  seed: int = 0, bin_thresh: float = 0.3) -> dict:
     from .db_postprocess import extract_boxes
     from .opt import optimize
@@ -350,6 +351,13 @@ def dbnet_report(*, n_images: int = 8, batch: int = 2, image_size: int = 640,
 
     report = {"model": "ppocr_det_dbnet", "n_images": n_images,
               "image_size": image_size, "bin_thresh": bin_thresh,
+              "box_metric_note": (
+                  "NOT-INFORMATIVE in this regime: random-weight prob maps "
+                  "are speckle, so DB-paper component extraction (box_thresh "
+                  "0.6, min_size 10) counts few-pixel components whose "
+                  "survival is threshold noise; mask IoU / pixel agreement "
+                  "are the primary map-quality metrics. Box rows are kept "
+                  "for method parity only."),
               "variants": {}}
     from ..models.zoo_config import RECOMMENDED
 

@@ -22,6 +22,10 @@ from ..quant.quantize_pass import QuantConfig, ptq_quantize
 FUSION_PASSES = [
     "identity_elimination",
     "quant_dequant_fuse",  # no-op unless the graph carries QAT fake ops
+    # spatial-in-lanes packing of lane-starved deconv heads (DBNet). Exact
+    # rewrite; before conv_bn_fuse so the tiled bn folds into the packed
+    # 1x1 conv.
+    "deconv_pack",
     "conv_bn_fuse",
     "conv_elementwise_fuse",
     "conv_activation_fuse",

@@ -342,7 +342,10 @@ def _main() -> None:
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--seq-len", type=int, default=128)
     p.add_argument("--fp32", action="store_true", help="skip quantization")
-    p.add_argument("--island-dtype", default="float32")
+    p.add_argument("--island-dtype", default="auto",
+                   help="'auto' = the zoo's measured recommended config "
+                        "(models/zoo_config.py), so the profile attributes "
+                        "the configuration users actually serve")
     p.add_argument("--out", default=None)
     p.add_argument("--min-window", type=float, default=0.3)
     args = p.parse_args()
@@ -368,7 +371,11 @@ def _main() -> None:
         else:
             feed[name] = rng.normal(size=shape).astype(dt)
     if not args.fp32:
-        optimize(graph, quant=QuantConfig(island_dtype=args.island_dtype),
+        from ..models.zoo_config import recommended_quant
+
+        overrides = ({} if args.island_dtype == "auto"
+                     else {"island_dtype": args.island_dtype})
+        optimize(graph, quant=recommended_quant(args.model, **overrides),
                  calib_batches=[feed])
 
     out_path = args.out or f"/tmp/profile_{args.model}.jsonl"
