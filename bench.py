@@ -74,6 +74,26 @@ def main() -> None:
                     op.attrs["kernel"] = "xla"
         int8_variants[plan] = _device_throughput(g8)
 
+    # north-star config #2: ResNet-50 default plan vs forced-XLA, the same
+    # regression gate as MobileNetV1 (VERDICT r3 next #8) — a smaller
+    # window (it shares the bench budget with the headline model)
+    from paddle_lite_tpu.models import resnet
+
+    r50_batch = 32
+    r50_calib = [{"image": rng.normal(
+        size=(r50_batch, SIZE, SIZE, 3)).astype(np.float32)}]
+    r50_variants = {}
+    for plan in ("xla", "auto"):
+        g50 = resnet.build(batch=r50_batch, image_size=SIZE, seed=0)
+        optimize(g50, quant=QuantConfig(), calib_batches=r50_calib)
+        if plan == "xla":
+            for op in g50.ops:
+                if op.attrs.get("kernel") == "pallas":
+                    op.attrs["kernel"] = "xla"
+        from paddle_lite_tpu.tools.benchmark import device_throughput
+
+        r50_variants[plan] = device_throughput(g50, dict(r50_calib[0]))
+
     # the headline is the DEFAULT plan — what optimize() actually emits for a
     # user — not the max over variants (BENCH_r02's auto plan silently ran
     # 40% below the reported number; never again).  The guard flag trips if
@@ -81,6 +101,8 @@ def main() -> None:
     # future autotune-table regression on the product path.
     int8_ips = int8_variants["auto"]
     best = max(int8_variants.values())
+    plan_ok = bool(int8_ips >= 0.95 * best
+                   and r50_variants["auto"] >= 0.95 * max(r50_variants.values()))
     print(json.dumps({
         "metric": "mobilenetv1_int8_images_per_sec_per_chip",
         "value": round(int8_ips, 1),
@@ -90,16 +112,19 @@ def main() -> None:
             "batch": BATCH,
             "fp32_images_per_sec": round(fp32_ips, 1),
             "int8_variants": {k: round(v, 1) for k, v in int8_variants.items()},
-            "default_plan_ok": bool(int8_ips >= 0.95 * best),
+            "resnet50_int8_variants": {k: round(v, 1)
+                                       for k, v in r50_variants.items()},
+            "default_plan_ok": plan_ok,
             "device": str(jax.devices()[0]),
         },
     }))
-    if int8_ips < 0.95 * best:
+    if not plan_ok:
         # warn here; ci.sh --bench turns default_plan_ok=false into a failure
         import sys
-        print(f"PLAN REGRESSION: default plan {int8_ips:.0f} img/s is >5% "
-              f"below best variant {best:.0f} — re-run "
-              f"`cli tune --validate` to repair .autotune/gemm.json",
+        print(f"PLAN REGRESSION: a default plan is >5% below its best "
+              f"variant (mnv1 {int8_ips:.0f} vs {best:.0f}; r50 "
+              f"{r50_variants['auto']:.0f} vs {max(r50_variants.values()):.0f})"
+              f" — re-run `cli tune --validate` to repair .autotune/gemm.json",
               file=sys.stderr)
 
 

@@ -31,7 +31,16 @@ _STAGES = [  # (num_blocks, mid_channels, out_channels, first_stride)
 
 
 def _bottleneck(b: GraphBuilder, x: str, mid: int, out: int, stride: int,
-                project: bool) -> str:
+                project: bool, residual: bool = True) -> str:
+    if not residual:
+        # ablation: pure conv chain (no projection conv, no skip add) —
+        # isolates the residual machinery's cost (projection GEMMs + the
+        # add's int8 requant boundary) as an end-to-end delta
+        y = b.conv_bn_act(x, mid, 1, act="relu")
+        y = b.conv_bn_act(y, mid, 3, stride=stride, padding=1, act="relu")
+        y = b.conv2d(y, out, 1)
+        y = b.batch_norm(y)
+        return b.act(y, "relu")
     if project:
         shortcut = b.conv2d(x, out, 1, stride=stride)
         shortcut = b.batch_norm(shortcut)
@@ -46,20 +55,30 @@ def _bottleneck(b: GraphBuilder, x: str, mid: int, out: int, stride: int,
 
 
 def build(batch: int = 1, image_size: int = 224, num_classes: int = 1000,
-          seed: int = 0, with_softmax: bool = True) -> Graph:
+          seed: int = 0, with_softmax: bool = True,
+          ablate_residual: bool = False, ablate_stem: bool = False,
+          ablate_head: bool = False) -> Graph:
+    """``ablate_*``: whole-model ablation variants for the model-level
+    roofline attribution study (tools/studies/r50_roofline_r4.py) — same
+    shapes, one structural piece removed, costs read as end-to-end deltas."""
     b = GraphBuilder("resnet50", seed=seed)
     x = b.input("image", (batch, image_size, image_size, 3))
-    x = b.conv_bn_act(x, 64, 7, stride=2, padding=3, act="relu")
+    if ablate_stem:
+        x = b.conv_bn_act(x, 64, 1, stride=2, act="relu")  # cheap 1x1 stem
+    else:
+        x = b.conv_bn_act(x, 64, 7, stride=2, padding=3, act="relu")
     x = b.pool2d(x, "max", ksize=3, stride=2, padding=1)
     for n_blocks, mid, out, stride in _STAGES:
         for i in range(n_blocks):
             x = _bottleneck(b, x, mid, out,
                             stride=stride if i == 0 else 1,
-                            project=(i == 0))
+                            project=(i == 0),
+                            residual=not ablate_residual)
     x = b.pool2d(x, "avg", global_pooling=True)
     x = b.reshape(x, (batch, 2048))
-    x = b.fc(x, num_classes, name="classifier")
-    if with_softmax:
-        x = b.softmax(x)
+    if not ablate_head:
+        x = b.fc(x, num_classes, name="classifier")
+        if with_softmax:
+            x = b.softmax(x)
     b.mark_output(x)
     return b.build()

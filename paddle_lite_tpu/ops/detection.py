@@ -409,9 +409,13 @@ def multiclass_nms_pallas(ctx, op, ins):
     boxes = boxes.astype(jnp.float32)
     scores = scores.astype(jnp.float32)
 
-    top2 = approx == "bucket2"
-    loc = int(attrs.get("bucket_candidates", 256 if top2 else 512))
-    if approx in ("bucket", "bucket2") and m > loc:
+    # "bucket" = top-1 per bucket; "bucket<N>" = top-N per (wider) bucket
+    topn = 1
+    if isinstance(approx, str) and approx.startswith("bucket"):
+        topn = int(approx[6:] or 1)
+    loc = int(attrs.get("bucket_candidates", 512 // topn))
+    if topn >= 1 and isinstance(approx, str) and approx.startswith("bucket") \
+            and m > loc:
         # Bucket-max candidate selection: ``loc`` buckets of adjacent
         # priors, keep each bucket's max (score + its box via an in-bucket
         # one-hot reduction — no gather: TPU row-gathers measured 1.9 ms at
@@ -424,12 +428,12 @@ def multiclass_nms_pallas(ctx, op, ins):
         # (attr "bucket_candidates") trades recall for kernel cost — the
         # IoU build scales with candidates^2.
         #
-        # "bucket2" keeps the TOP-2 of each of loc=256 wider buckets
-        # (same 512-candidate NMS cost as bucket@512): recall losses in
-        # bucket@512 come from two true detections sharing one bucket, and
-        # a second dense max (first max masked out) recovers exactly that
-        # case for the cost of one more (N, C, loc, bs) reduction — still
-        # no gathers, no sort.
+        # "bucket<N>" keeps the TOP-N of each of loc wider buckets (e.g.
+        # bucket2@256 = same 512-candidate NMS cost as bucket@512): recall
+        # losses in bucket@512 come from N>=2 true detections sharing one
+        # bucket, and each further dense max (previous max masked out)
+        # recovers one more of them for the cost of one (N, C, loc, bs)
+        # reduction — still no gathers, no sort.
         bs = -(-m // loc)
         pad = loc * bs - m
         sc_t = scores.transpose(0, 2, 1)  # (N, C, M)
@@ -449,11 +453,15 @@ def multiclass_nms_pallas(ctx, op, ins):
                           axis=3)                        # (N, C, loc, 4)
             return top, onehot, cnd
 
-        top_s, oh1, cand = bucket_max(sc_b)
-        if top2:
-            t2, _, c2 = bucket_max(jnp.where(oh1, -jnp.inf, sc_b))
-            top_s = jnp.concatenate([top_s, t2], axis=-1)   # (N, C, 2*loc)
-            cand = jnp.concatenate([cand, c2], axis=2)      # (N, C, 2*loc, 4)
+        top_s, taken, cand = bucket_max(sc_b)
+        tops, cands = [top_s], [cand]
+        for _ in range(topn - 1):
+            t_i, oh_i, c_i = bucket_max(jnp.where(taken, -jnp.inf, sc_b))
+            taken = taken | oh_i
+            tops.append(t_i)
+            cands.append(c_i)
+        top_s = jnp.concatenate(tops, axis=-1)     # (N, C, topn*loc)
+        cand = jnp.concatenate(cands, axis=2)      # (N, C, topn*loc, 4)
         k = top_s.shape[-1]
     else:
         def top_candidates(sc_col, bx):  # (M,), (M,4) -> (k,), (k,4)

@@ -268,6 +268,8 @@ def ssd_report(*, n_images: int = 64, batch: int = 8, image_size: int = 300,
         # bucket count, recovers the two-detections-one-bucket loss mode
         "int8_bucket2_256": ("int8", "bucket2", 256),
         "int8_bucket2_192": ("int8", "bucket2", 192),
+        # top-3 at 176 buckets (k=528): recovers 3-in-one-bucket losses
+        "int8_bucket3_176": ("int8", "bucket3", 176),
     }
     report = {"model": "ssd_mobilenet_v1", "n_images": n_images,
               "image_size": image_size, "iou_match": 0.5,
