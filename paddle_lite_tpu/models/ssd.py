@@ -110,19 +110,27 @@ def build(batch: int = 1, image_size: int = 300, num_classes: int = 21,
         {"BBoxes": [decoded], "Scores": [scores]},
         attrs={"background_label": 0, "score_threshold": 0.01,
                "nms_top_k": 400, "nms_threshold": 0.45, "keep_top_k": 100,
-               # candidate selection level (measured b32 int8, v5e):
-               #   False  = exact per-class top_k          4012 img/s
-               #   True   = approx_max_k (detection-identical on this
-               #            model)                         4139 img/s
-               #   bucket = 512-bucket spatial max         5307 img/s,
-               #            reproduces 94% of exact detections on
-               #            random-weight worst case (near-tie scores)
-               # Default is the detection-identical tier: a default must
-               # not silently drop detections.  Opt into "bucket" (+28%)
-               # only after docs/ACCURACY.md's detection-match harness
-               # bounds the loss for YOUR weights (see accuracy_report
-               # --model ssd which measures bucket@512/256 vs exact).
-               "approx_top_k": True},
+               # candidate selection tier (measured b32 int8, v5e — r4
+               # sweep in docs/ssd_bucket2_r4.json, recall gates in
+               # docs/ACCURACY.md):
+               #   False     exact per-class top_k        4,014 img/s
+               #   True      approx_max_k (detection-
+               #             identical on this model)     4,119 img/s
+               #   bucket    512-bucket top-1             5,303 img/s,
+               #             recall 0.9996/0.9966 vs int8+exact
+               #   bucket2   top-2 of 256 buckets         5,242 img/s,
+               #             recall 1.000/0.9989
+               #   bucket3   top-3 of 176 buckets (DEFAULT),
+               #             recall 1.000/0.9997 at conf 0.25/0.1 with
+               #             precision 1.000 both regimes — top-N of
+               #             N-times-wider buckets recovers top-1's
+               #             multiple-detections-per-bucket loss at the
+               #             same candidate count (no gathers, no sort)
+               # Zero-loss deployments: set "approx_top_k": True (or
+               # False for exact) — one attr, measured
+               # detection-identical.
+               "approx_top_k": "bucket3",
+               "bucket_candidates": 176},
         shape_args=[decoded, scores],
     )[0]
     b.mark_output(out)

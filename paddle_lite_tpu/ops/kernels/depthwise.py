@@ -65,12 +65,19 @@ def _dw_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
     wt = w_ref[:]  # (9, BC) int8 taps
     scale = scale_ref[:]  # (1, BC) f32
     bias = bias_ref[:]  # (1, BC) f32
+    # Hoist the W-direction (sublane-axis) shifts OUT of the row loop: a
+    # sublane-offset slice is a Mosaic relayout copy, so slicing per tap
+    # per chunk paid 9x the slab in VMEM copies; three shifted views built
+    # once pay 3x, and the remaining per-tap reads slice only the H axis —
+    # a non-tiled dimension, free.  The row loop then runs pure int32 MACs
+    # (the VPU-roofline term; see docs/ROOFLINE.md depthwise section).
+    xs3 = [x_ref[0, :, j:j + w, :] for j in range(3)]  # (h+2, w, BC) each
     for rc in range(h // row_chunk):
         r0 = rc * row_chunk
         acc = jnp.zeros((row_chunk, w, _BC), jnp.int32)
         for i in range(3):
             for j in range(3):
-                xs = x_ref[0, r0 + i:r0 + i + row_chunk, j:j + w, :]
+                xs = xs3[j][r0 + i:r0 + i + row_chunk]
                 acc = acc + xs.astype(jnp.int32) * wt[3 * i + j].astype(jnp.int32)
         y = acc.astype(jnp.float32) * scale[0]
         y = y + bias[0]
@@ -190,6 +197,16 @@ def _dw_kernel_s2(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
     wt = w_ref[:]  # (kh*kw, BC) int8 taps
     scale = scale_ref[:]
     bias = bias_ref[:]
+    # sublane shifts hoisted (see _dw_kernel): one relayout per distinct
+    # (phase, column-offset) pair instead of per tap per chunk
+    views = {}
+    for i in range(kh):
+        ph = i % 2
+        for j in range(kw):
+            pw, qj = j % 2, j // 2
+            key = (ph * 2 + pw, qj)
+            if key not in views:
+                views[key] = x_ref[ph * 2 + pw, 0, :, qj:qj + ow, :]
     for rc in range(oh // row_chunk):
         r0 = rc * row_chunk
         acc = jnp.zeros((row_chunk, ow, _BC), jnp.int32)
@@ -197,9 +214,7 @@ def _dw_kernel_s2(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
             ph, qi = i % 2, i // 2
             for j in range(kw):
                 pw, qj = j % 2, j // 2
-                xs = x_ref[ph * 2 + pw, 0,
-                           r0 + qi:r0 + qi + row_chunk,
-                           qj:qj + ow, :]
+                xs = views[(ph * 2 + pw, qj)][r0 + qi:r0 + qi + row_chunk]
                 acc = acc + xs.astype(jnp.int32) * wt[i * kw + j].astype(jnp.int32)
         y = acc.astype(jnp.float32) * scale[0]
         y = y + bias[0]
@@ -215,12 +230,15 @@ def _dw_kernel_s1(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
     wt = w_ref[:]
     scale = scale_ref[:]
     bias = bias_ref[:]
+    # sublane shifts hoisted out of the row loop (see _dw_kernel): kw
+    # relayout copies total instead of kh*kw per chunk
+    xsj = [x_ref[0, :, j:j + ow, :] for j in range(kw)]
     for rc in range(oh // row_chunk):
         r0 = rc * row_chunk
         acc = jnp.zeros((row_chunk, ow, _BC), jnp.int32)
         for i in range(kh):
             for j in range(kw):
-                xs = x_ref[0, r0 + i:r0 + i + row_chunk, j:j + ow, :]
+                xs = xsj[j][r0 + i:r0 + i + row_chunk]
                 acc = acc + xs.astype(jnp.int32) * wt[i * kw + j].astype(jnp.int32)
         y = acc.astype(jnp.float32) * scale[0]
         y = y + bias[0]
