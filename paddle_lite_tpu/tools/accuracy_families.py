@@ -329,7 +329,7 @@ def ssd_report(*, n_images: int = 64, batch: int = 8, image_size: int = 300,
 # DBNet — mask IoU + box match
 # ---------------------------------------------------------------------------
 
-def dbnet_report(*, n_images: int = 24, batch: int = 2, image_size: int = 640,
+def dbnet_report(*, n_images: int = 12, batch: int = 2, image_size: int = 640,
                  seed: int = 0, bin_thresh: float = 0.3) -> dict:
     from .db_postprocess import extract_boxes
     from .opt import optimize

@@ -279,7 +279,11 @@ def latency_report(graph: Graph, feed: Dict[str, np.ndarray],
             loop = min(max(int(loop * scale) + 1, loop * 2), 1 << 22)
         deltas = [timed(1 + loop) - timed(1) for _ in range(reps)]
         good = [x for x in deltas if x > min_window / 4]
-        dt = float(np.median(good or deltas)) / loop
+        # max(..., 0): under host CPU starvation every delta can come out
+        # negative (scheduling noise exceeds the window); per-iteration
+        # time is physically non-negative, and a negative cum point would
+        # push the isotonic fit's first diff below zero
+        dt = max(float(np.median(good or deltas)), 0.0) / loop
         est_per_iter = max(dt, 1e-7)  # seed for the next prefix's window
         row = {
             "op": order[k - 1].op_type,

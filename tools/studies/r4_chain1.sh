@@ -24,3 +24,5 @@ timeout 5400 python -m paddle_lite_tpu.tools.profile --model ppocr_det \
   --batch 4 --image-size 640 --out docs/profile_dbnet_r4.jsonl
 # 7. profiler acceptance: per-op sums vs whole-model on MNv3/SSD/ERNIE
 timeout 9000 python tools/studies/profile_validate_r4.py
+# 8. refresh the BASELINE rows for the two changed configs
+timeout 3600 python tools/studies/remeasure_r4.py
