@@ -207,3 +207,37 @@ def test_dag_pattern_slot_constraint(rng):
     p2.node("m", "elementwise_mul")
     p2.edge("s", "m", dst_slot="X")
     assert len(p2.match(g)) == 1
+
+
+def test_deconv_pack_exact_and_structural(rng):
+    """deconv_pack (spatial-in-lanes head packing): bit-exact rewrite of
+    the DBNet-style 2x2s2 deconv chain, ending in ONE pixel_shuffle; the
+    whole head runs at the pre-upsample resolution."""
+    import numpy as np
+
+    from paddle_lite_tpu.core.executor import build_callable, stage_weights
+    from paddle_lite_tpu.core.pass_manager import PassManager
+    from paddle_lite_tpu.models.ppocr import build_det
+
+    g_ref = build_det(batch=1, image_size=64, seed=5)
+    g_pk = build_det(batch=1, image_size=64, seed=5)
+    PassManager(["deconv_pack"]).run(g_pk)
+
+    types = [op.op_type for op in g_pk.ops]
+    assert "conv2d_transpose" not in types       # both deconvs rewritten
+    assert types.count("pixel_shuffle") == 1     # one unpack at the end
+    ps = next(op for op in g_pk.ops if op.op_type == "pixel_shuffle")
+    assert ps.attrs["upscale_factor"] == 4       # composed 2x2 -> block 4
+    # the packed var before the unpack sits at 1/4 resolution, 16 lanes
+    packed = g_pk.vars[ps.input("X")]
+    out = g_pk.vars[ps.output("Out")]
+    assert packed.shape[1] * 4 == out.shape[1]
+    assert packed.shape[3] == 16 * out.shape[3]
+
+    x = {"image": rng.normal(size=(1, 64, 64, 3)).astype(np.float32)}
+    r_ref = build_callable(g_ref)(stage_weights(g_ref), x)
+    r_pk = build_callable(g_pk)(stage_weights(g_pk), x)
+    a = np.asarray(r_ref[g_ref.outputs[0]])
+    b = np.asarray(r_pk[g_pk.outputs[0]])
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)          # exact, not approximate
