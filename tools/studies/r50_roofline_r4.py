@@ -45,8 +45,11 @@ CONFIGS = [
 
 
 def gemm_problems(g):
-    """(m, k, n, count, int8) for every GEMM-shaped op (convs as implicit
-    GEMM; depthwise excluded — not MXU work)."""
+    """(m, k, n, in_elems, int8) -> count for every GEMM-shaped op (convs
+    as implicit GEMM; depthwise excluded — not MXU work).  ``in_elems`` is
+    the TRUE input-tensor element count: the im2col view's m*k overcounts
+    each input pixel kh*kw times, which inflated the memory roofline term
+    so far that R50 "beat" it (the direct conv reads each input once)."""
     probs = {}
     for op in g.ops:
         t = op.op_type
@@ -55,24 +58,26 @@ def gemm_problems(g):
             x = g.vars[op.input("Input")].shape
             o = g.vars[op.output("Output")].shape
             m = int(np.prod(o[:-1]))
-            k = int(w[0] * w[1] * w[2] * int(op.attrs.get("groups", 1)) ** 0)
+            k = int(w[0] * w[1] * w[2])
             n = int(w[3])
+            in_elems = int(np.prod(x))
         elif t in ("fc", "mul"):
             wname = op.input("W" if t == "fc" else "Y")
             w = g.vars[wname].shape
             o = g.vars[op.output("Out")].shape
             m = int(np.prod(o[:-1]))
             k, n = int(w[-2]), int(w[-1])
+            in_elems = m * k
         elif t == "matmul":
             x = g.vars[op.input("X")].shape
-            y = g.vars[op.input("Y")].shape
             o = g.vars[op.output("Out")].shape
             m = int(np.prod(o[:-1]))
             n = int(o[-1])
             k = int(x[-1] if not op.attrs.get("transpose_X") else x[-2])
+            in_elems = m * k
         else:
             continue
-        key = (m, k, n, bool(op.attrs.get("enable_int8")))
+        key = (m, k, n, in_elems, bool(op.attrs.get("enable_int8")))
         probs[key] = probs.get(key, 0) + 1
     return probs
 
@@ -92,10 +97,10 @@ def model_report(model, kw, shape_cache):
 
     bound_us = roof_us = 0.0
     measured_rows = []
-    for (m, k, n, int8), cnt in sorted(probs.items()):
+    for (m, k, n, in_elems, int8), cnt in sorted(probs.items()):
         flops = 2.0 * m * k * n
         t_comp = flops / PEAK_INT8_OPS / (1 if int8 else 0.5)
-        t_mem = (m * k + k * n + m * n) * (1 if int8 else 4) / HBM_BW
+        t_mem = (in_elems + k * n + m * n) * (1 if int8 else 4) / HBM_BW
         roof_us += cnt * max(t_comp, t_mem) * 1e6
         if int8 and min(m, k, n) >= 8:
             if (m, k, n) not in shape_cache:
@@ -111,7 +116,7 @@ def model_report(model, kw, shape_cache):
     items = device_throughput(g, dict(feed))
     batch = feed[list(feed)[0]].shape[0]
     whole_us = batch / items * 1e6
-    flops_total = sum(2.0 * m * k * n * c for (m, k, n, _), c in probs.items())
+    flops_total = sum(2.0 * m * k * n * c for (m, k, n, _, _), c in probs.items())
     return {
         "model": model, "batch": batch,
         "whole_model_us_per_batch": round(whole_us, 1),
