@@ -540,6 +540,32 @@ class FluidConverter:
         self._emit("slice", {"X": [x]}, {"Out": [op.output("Out")]}, attrs,
                    shape_args=[x])
 
+    def _op_gru(self, op: FluidOp) -> None:
+        """Fluid ``gru`` (LoD recurrence — ``lite/operators/gru_op.cc``)
+        imported in the DENSE-BATCH form (SURVEY §5.7: LoD raggedness is a
+        non-goal; sequences arrive dense (N, T, 3H) from the bucketed
+        batcher).  Maps onto the engine's ``gru`` op (same slot contract,
+        ``is_reverse`` supported); the training-side outputs the fluid desc
+        declares (BatchGate/BatchResetHiddenPrev/BatchHidden) are not
+        materialized — inference exports never consume them."""
+        x = self.ensure_sem(self._maybe_weight(op.input("Input")))
+        if len(self.g.vars[x].shape) != 3:
+            raise FluidFormatError(
+                "gru import expects a dense (batch, T, 3H) Input; ragged "
+                "LoD sequences must be bucketed before export (§5.7)")
+        ins = {"Input": [x], "Weight": [self._maybe_weight(op.input("Weight"))]}
+        if op.maybe_input("Bias"):
+            ins["Bias"] = [self._maybe_weight(op.input("Bias"))]
+        if op.maybe_input("H0"):
+            ins["H0"] = [self._maybe_weight(op.input("H0"))]
+        attrs = {
+            "is_reverse": bool(op.attrs.get("is_reverse", False)),
+            "gate_activation": op.attrs.get("gate_activation", "sigmoid"),
+            "activation": op.attrs.get("activation", "tanh"),
+        }
+        self._emit("gru", ins, {"Hidden": [op.output("Hidden")]}, attrs,
+                   shape_args=[x])
+
     def _op_shape(self, op: FluidOp) -> None:
         x = self.ensure_sem(self._maybe_weight(op.input("Input")))
         self._emit("shape", {"Input": [x]}, {"Out": [op.output("Out")]}, {},
