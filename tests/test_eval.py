@@ -81,3 +81,31 @@ def test_isotonic_fit_and_per_type_sums():
             for d, c in zip(np.diff([0.0] + fit), np.cumsum(np.diff([0.0] + fit)))]
     per_type = per_type_summary(rows)
     assert abs(sum(t["ms"] for t in per_type) - fit[-1]) < 1e-9
+
+
+def test_bench_model_no_zoo_config(monkeypatch):
+    """zoo_config=False must bypass the RECOMMENDED table entirely: the
+    QuantConfig is built purely from explicit values (plain defaults —
+    e.g. ppocr_det's quant_depthwise=False must NOT leak in)."""
+    from paddle_lite_tpu.quant.quantize_pass import QuantConfig
+    from paddle_lite_tpu.tools import benchmark
+
+    seen = {}
+
+    def fake_optimize(g, quant=None, calib_batches=None):
+        seen["quant"] = quant
+        raise RuntimeError("stop")  # skip the actual compile/measure
+
+    monkeypatch.setattr("paddle_lite_tpu.tools.opt.optimize", fake_optimize)
+    try:
+        benchmark.bench_model("ppocr_det", batch=1, image_size=64,
+                              with_fp32=False, zoo_config=False)
+    except RuntimeError:
+        pass
+    assert seen["quant"] == QuantConfig()  # plain defaults, dw quantized
+    try:
+        benchmark.bench_model("ppocr_det", batch=1, image_size=64,
+                              with_fp32=False, zoo_config=True)
+    except RuntimeError:
+        pass
+    assert seen["quant"].quant_depthwise is False  # RECOMMENDED applied
