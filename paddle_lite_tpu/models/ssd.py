@@ -118,22 +118,22 @@ def build(batch: int = 1, image_size: int = 300, num_classes: int = 21,
                #             identical on this model)     4,119 img/s
                #   bucket    512-bucket top-1             5,303 img/s,
                #             recall 0.9996/0.9966 vs int8+exact
-               #   bucket2   top-2 of 256 buckets (DEFAULT)  5,242 img/s,
+               #   bucket2   top-2 of 256 buckets         5,242 img/s,
                #             recall 1.000/0.9989 at conf 0.25/0.1,
-               #             precision 1.000 both regimes — top-N of
-               #             N-times-wider buckets recovers top-1's
-               #             multiple-detections-per-bucket loss at the
-               #             same candidate count (no gathers, no sort)
-               #   bucket3   top-3 of 176 buckets: best measured recall
-               #             of the bucket family (1.000/0.9997) —
-               #             throughput not yet measured on-chip (r4
-               #             compile-service outage), so it does not
-               #             ship as default until it has its number
+               #             precision 1.000 both regimes
+               #   bucket3   top-3 of 176 buckets (DEFAULT) 5,004 img/s,
+               #             recall 1.000/0.9997 — the only bucket tier
+               #             that clears the >=0.999 recall gate at BOTH
+               #             confidence regimes; top-N of N-times-wider
+               #             buckets recovers top-1's multiple-
+               #             detections-per-bucket loss at the same
+               #             candidate count (no gathers, no sort).
+               #             bucket2 is the measured +5% opt-in.
                # Zero-loss deployments: set "approx_top_k": True (or
                # False for exact) — one attr, measured
                # detection-identical.
-               "approx_top_k": "bucket2",
-               "bucket_candidates": 256},
+               "approx_top_k": "bucket3",
+               "bucket_candidates": 176},
         shape_args=[decoded, scores],
     )[0]
     b.mark_output(out)
