@@ -26,3 +26,6 @@ timeout 5400 python -m paddle_lite_tpu.tools.profile --model ppocr_det \
 timeout 9000 python tools/studies/profile_validate_r4.py
 # 8. refresh the BASELINE rows for the two changed configs
 timeout 3600 python tools/studies/remeasure_r4.py
+# 9. ppocr_det serving batch table, corrected flags (b8 cliff check)
+timeout 3000 python -m paddle_lite_tpu.tools.batch_tune --model ppocr_det \
+  --buckets 1,2,4,8,16 --image-size 640
