@@ -241,3 +241,54 @@ def test_deconv_pack_exact_and_structural(rng):
     b = np.asarray(r_pk[g_pk.outputs[0]])
     assert a.shape == b.shape
     np.testing.assert_array_equal(a, b)          # exact, not approximate
+
+
+def test_deconv_pack_single_stage_with_bias_and_eligibility(rng):
+    """Single 2x2s2 deconv with bias + trailing sigmoid packs to
+    conv1x1 + pixel_shuffle(2); a 3x3s2 deconv (overlapping) and a
+    wide-channel deconv (lanes already full) are left alone."""
+    import numpy as np
+
+    from paddle_lite_tpu.core.builder import GraphBuilder
+    from paddle_lite_tpu.core.executor import build_callable, stage_weights
+    from paddle_lite_tpu.core.pass_manager import PassManager
+
+    def head(kernel, out_c, bias):
+        b = GraphBuilder("m", seed=9)
+        x = b.input("x", (2, 8, 8, 12))
+        w = b.rand_weight("up.w", (kernel, kernel, 12, out_c))
+        ins = {"Input": [x], "Filter": [w]}
+        if bias:
+            # deterministic: the shared rng fixture would give ref/packed
+            # graphs different biases
+            ins["Bias"] = [b.weight("up.b",
+                                    (0.1 * np.arange(out_c)).astype(np.float32))]
+        y = b.op("conv2d_transpose", ins,
+                 attrs={"strides": [2, 2]}, shape_args=[x, w],
+                 out_slots=("Output",))[0]
+        y = b.act(y, "sigmoid")
+        b.mark_output(y)
+        return b.build()
+
+    feed = {"x": rng.normal(size=(2, 8, 8, 12)).astype(np.float32)}
+
+    # eligible: k=2, small channels, bias present
+    g_ref, g_pk = head(2, 6, True), head(2, 6, True)
+    PassManager(["deconv_pack"]).run(g_pk)
+    types = [op.op_type for op in g_pk.ops]
+    assert "conv2d_transpose" not in types and types.count("pixel_shuffle") == 1
+    a = np.asarray(build_callable(g_ref)(stage_weights(g_ref), feed)[
+        g_ref.outputs[0]])
+    bb = np.asarray(build_callable(g_pk)(stage_weights(g_pk), feed)[
+        g_pk.outputs[0]])
+    np.testing.assert_array_equal(a, bb)
+
+    # ineligible: overlapping kernel (k=3, s=2)
+    g3 = head(3, 6, False)
+    PassManager(["deconv_pack"]).run(g3)
+    assert "conv2d_transpose" in [op.op_type for op in g3.ops]
+
+    # ineligible: 4*oc > 128 (lanes already full — packing buys nothing)
+    gw = head(2, 64, False)
+    PassManager(["deconv_pack"]).run(gw)
+    assert "conv2d_transpose" in [op.op_type for op in gw.ops]
