@@ -109,3 +109,23 @@ def test_bench_model_no_zoo_config(monkeypatch):
     except RuntimeError:
         pass
     assert seen["quant"].quant_depthwise is False  # RECOMMENDED applied
+
+
+def test_profiler_acceptance_evidence():
+    """The committed on-chip acceptance snapshot (VERDICT r3 #6): per-op
+    sums from the isotonic latency_report must match the independent
+    whole-model iteration-delta within 10% on the three models whose
+    attribution drove r3 decisions. Regenerate with
+    tools/studies/profile_validate_r4.py on the TPU."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "profile_validate_r4.json")
+    rows = json.load(open(path))
+    models = {r["model"] for r in rows}
+    assert {"mobilenet_v3", "ssd", "ernie_tiny"} <= models
+    for r in rows:
+        assert 0.9 < r["sum_over_whole"] < 1.1, r
+        # and the fit telescopes: per-op sum == final prefix
+        assert abs(r["per_op_sum_ms"] - r["final_prefix_ms"]) < 1e-6, r
