@@ -270,6 +270,10 @@ def ssd_report(*, n_images: int = 64, batch: int = 8, image_size: int = 300,
         "int8_bucket2_192": ("int8", "bucket2", 192),
         # top-3 at 176 buckets (k=528): recovers 3-in-one-bucket losses
         "int8_bucket3_176": ("int8", "bucket3", 176),
+        # finer candidate counts: k=432 / k=448 — cheaper NMS if the
+        # recall gate still clears
+        "int8_bucket3_144": ("int8", "bucket3", 144),
+        "int8_bucket2_224": ("int8", "bucket2", 224),
     }
     report = {"model": "ssd_mobilenet_v1", "n_images": n_images,
               "image_size": image_size, "iou_match": 0.5,
