@@ -553,6 +553,14 @@ class FluidConverter:
             raise FluidFormatError(
                 "gru import expects a dense (batch, T, 3H) Input; ragged "
                 "LoD sequences must be bucketed before export (§5.7)")
+        if bool(op.attrs.get("origin_mode", False)):
+            # origin_mode flips the update-gate formula
+            # (h = (1-u)*h_prev + u*c); the engine gru kernel implements
+            # only the default form — importing silently would produce
+            # wrong outputs, so refuse loudly.
+            raise FluidFormatError(
+                "gru origin_mode=True is not supported (the engine gru "
+                "kernel implements the default update-gate formula)")
         ins = {"Input": [x], "Weight": [self._maybe_weight(op.input("Weight"))]}
         if op.maybe_input("Bias"):
             ins["Bias"] = [self._maybe_weight(op.input("Bias"))]

@@ -39,6 +39,10 @@ RECOMMENDED: dict = {
     "dbnet": {"quant_depthwise": False},
     "ppocr_rec": {"island_dtype": "bfloat16"},
     "crnn": {"island_dtype": "bfloat16"},
+    # long-strip recognition (T=400, hidden=64): the bigru Pallas kernel's
+    # measured win region — serve at b<=16 (docs/crnn_long_r5.json)
+    "ppocr_rec_long": {"island_dtype": "bfloat16"},
+    "crnn_long": {"island_dtype": "bfloat16"},
     "ernie_tiny": {"island_dtype": "bfloat16"},
 }
 

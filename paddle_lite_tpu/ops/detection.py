@@ -360,7 +360,13 @@ def multiclass_nms_xla(ctx, op, ins):
     nms_top_k = int(attrs.get("nms_top_k", 400))
     keep_top_k = int(attrs.get("keep_top_k", 100))
     background = int(attrs.get("background_label", 0))
-    approx = bool(attrs.get("approx_top_k", False))
+    approx_attr = attrs.get("approx_top_k", False)
+    # The xla kernel has no bucket-selection tier; a graph authored with
+    # "bucket*" (the pallas kernel's candidate-selection tiers) that lands
+    # here DELIBERATELY falls back to the approx_max_k tier at nms_top_k —
+    # the closest approximate tier this kernel has (not a bool() accident).
+    approx = (True if isinstance(approx_attr, str)
+              and approx_attr.startswith("bucket") else bool(approx_attr))
     n, m, c = scores.shape
 
     def per_image(bx, sc):

@@ -96,6 +96,15 @@ def fused_dw_pw_pallas(ctx, op, ins):
     return {"Output": [y]}
 
 
+# Fuse only lane-starved blocks (C <= this): the win is shedding the
+# PHYSICALLY lane-padded intermediate's HBM round trip — an (M, 32) int8
+# activation is stored as (M, 128) bytes, so the 112px MNv1 block measured
+# 3.2x for the fused kernel, while full-lane blocks (28px+, C>=256) LOSE
+# to XLA's own conv fusion (tools/studies/dwpw_r5.py).  In-model A/B in
+# docs/dwpw_inmodel_r5.json.
+_FUSE_MAX_C = 128
+
+
 @register_pass("dw_pw_fuse")
 def dw_pw_fuse(graph: Graph) -> None:
     from .kernels import depthwise
@@ -108,6 +117,8 @@ def dw_pw_fuse(graph: Graph) -> None:
         if dw.attrs.get("out_scale") is None:
             continue  # dw output must be int8 (the internal boundary)
         x_name = dw.input("Input")
+        if graph.vars[x_name].shape[3] > _FUSE_MAX_C:
+            continue
         dw_w_var = graph.vars[dw.input("Filter")]
         if not depthwise.supported(dw.attrs, graph.vars[x_name].shape,
                                    dw_w_var.shape):

@@ -40,43 +40,52 @@ def _pick_row_chunk(h: int) -> int:
 
 def _kernel(x_ref, dww_ref, dwscale_ref, dwbias_ref, pww_ref, pwscale_ref,
             pwbias_ref, out_ref, *,
-            h: int, w: int, c: int, oc: int, row_chunk: int,
+            h: int, w: int, c: int, oc: int, row_chunk: int, bo: int,
             dw_act, dw_act_attrs, dw_out_scale,
             pw_act, pw_act_attrs, pw_out_scale, out_dtype):
     # grid is (batch,) ONLY: the dw stencil result for a row chunk is
     # computed once and reused for every pw output block (a grid axis over
     # output blocks would recompute the stencil per block — measured 4x
     # end-to-end regression on the first version of this kernel)
-    dw_w = dww_ref[:]          # (9, C) int8
+    # The stencil runs in f32 FMAs, not int32 MACs: the VPU has no int8
+    # MAC and int32 multiplies are the slow path (same reasoning as the
+    # dw_compute="bf16" XLA route, nn.py:111).  Exact: int8 values are
+    # exact in f32 and every 3x3 window sum stays < 2^24.
+    dw_w = dww_ref[:].astype(jnp.float32)   # (9, C)
     dw_scale = dwscale_ref[:]  # (1, C) f32  (s_x * s_wdw per channel)
     dw_bias = dwbias_ref[:]    # (1, C) f32
 
+    # SAME halo built IN VMEM — r5: the old HBM-side jnp.pad was a full
+    # extra read+write of the (physically lane-padded) activation, ~380us
+    # at the 112px block; a (h+2, w+2, c) VMEM temp costs ~5us total
+    xpad = jnp.pad(x_ref[0], ((1, 1), (1, 1), (0, 0)))
+
     for rc in range(h // row_chunk):
         r0 = rc * row_chunk
-        acc = jnp.zeros((row_chunk, w, c), jnp.int32)
+        acc = jnp.zeros((row_chunk, w, c), jnp.float32)
         for i in range(3):
             for j in range(3):
-                xs = x_ref[0, r0 + i:r0 + i + row_chunk, j:j + w, :]
-                acc = acc + xs.astype(jnp.int32) * dw_w[3 * i + j].astype(jnp.int32)
-        y = acc.astype(jnp.float32) * dw_scale[0] + dw_bias[0]
+                xs = xpad[r0 + i:r0 + i + row_chunk, j:j + w, :]
+                acc = acc + xs.astype(jnp.float32) * dw_w[3 * i + j]
+        y = acc * dw_scale[0] + dw_bias[0]
         y = apply_activation(y, dw_act, dw_act_attrs)
         # requant to int8 — the tensor that previously went to HBM
         dw_q = jnp.clip(jnp.round(y * (1.0 / dw_out_scale)), -127, 127
                         ).astype(jnp.int8)
         flat = dw_q.reshape(row_chunk * w, c)
-        for ob in range(oc // _BO):
-            o0 = ob * _BO
-            pw_w = pww_ref[:, o0:o0 + _BO]          # (C, BO) int8
+        for ob in range(oc // bo):
+            o0 = ob * bo
+            pw_w = pww_ref[:, o0:o0 + bo]           # (C, BO) int8
             pacc = jax.lax.dot_general(
                 flat, pw_w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            z = pacc.astype(jnp.float32) * pwscale_ref[:, o0:o0 + _BO][0]
-            z = z + pwbias_ref[:, o0:o0 + _BO][0]
+            z = pacc.astype(jnp.float32) * pwscale_ref[:, o0:o0 + bo][0]
+            z = z + pwbias_ref[:, o0:o0 + bo][0]
             z = apply_activation(z, pw_act, pw_act_attrs)
             if pw_out_scale is not None:
                 z = jnp.clip(jnp.round(z * (1.0 / pw_out_scale)), -127, 127)
-            out_ref[0, r0:r0 + row_chunk, :, o0:o0 + _BO] = z.reshape(
-                row_chunk, w, _BO).astype(out_dtype)
+            out_ref[0, r0:r0 + row_chunk, :, o0:o0 + bo] = z.reshape(
+                row_chunk, w, bo).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -87,28 +96,24 @@ def _fused_impl(x, dw_w9, dw_eff, dw_bias, pw_w, pw_eff, pw_bias, *,
                 pw_act, pw_act_attrs_t, pw_out_scale, interpret):
     n, h, wdt, c = x.shape
     oc = pw_w.shape[1]
-    # channel padding for lane alignment
-    cp = -c % 128
-    if cp:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp)))
-        dw_w9 = jnp.pad(dw_w9, ((0, 0), (0, cp)))
-        dw_eff = jnp.pad(dw_eff, (0, cp))
-        dw_bias = jnp.pad(dw_bias, (0, cp))
-        pw_w = jnp.pad(pw_w, ((0, cp), (0, 0)))
-    cq = c + cp
-    op_ = -oc % _BO
+    # r5: no HBM-side channel/halo padding — Mosaic lane-pads sub-128
+    # channel dims internally, the SAME halo is built in VMEM inside the
+    # kernel, and the pw output block adapts to oc so an oc<=128 output
+    # needs no trailing slice-copy.  The old jnp.pad round trips cost
+    # ~380us + ~190us at the 112px block (tools/studies/dwpw_r5.py).
+    bo = oc if oc <= 128 else _BO
+    op_ = -oc % bo
     if op_:
         pw_w = jnp.pad(pw_w, ((0, 0), (0, op_)))
         pw_eff = jnp.pad(pw_eff, (0, op_))
         pw_bias = jnp.pad(pw_bias, (0, op_))
     ocq = oc + op_
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     out_dtype = jnp.int8 if pw_out_scale is not None else jnp.float32
     row_chunk = _pick_row_chunk(h)
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, h=h, w=wdt, c=cq, oc=ocq, row_chunk=row_chunk,
+            _kernel, h=h, w=wdt, c=c, oc=ocq, row_chunk=row_chunk, bo=bo,
             dw_act=dw_act,
             dw_act_attrs=dict(dw_act_attrs_t) if dw_act_attrs_t else None,
             dw_out_scale=dw_out_scale,
@@ -118,15 +123,15 @@ def _fused_impl(x, dw_w9, dw_eff, dw_bias, pw_w, pw_eff, pw_bias, *,
         ),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h + 2, wdt + 2, cq), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, h, wdt, c), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cq), lambda b: (0, 0),
+            pl.BlockSpec((9, c), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cq), lambda b: (0, 0),
+            pl.BlockSpec((1, c), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cq), lambda b: (0, 0),
+            pl.BlockSpec((1, c), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cq, ocq), lambda b: (0, 0),
+            pl.BlockSpec((c, ocq), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ocq), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -140,18 +145,18 @@ def _fused_impl(x, dw_w9, dw_eff, dw_bias, pw_w, pw_eff, pw_bias, *,
             dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * wdt * cq * 9 + 2 * n * h * wdt * cq * ocq,
-            bytes_accessed=n * h * wdt * (cq + ocq),
+            flops=2 * n * h * wdt * c * 9 + 2 * n * h * wdt * c * ocq,
+            bytes_accessed=n * h * wdt * (c + ocq),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, dw_w9,
+    )(x, dw_w9,
       dw_eff.reshape(1, -1).astype(jnp.float32),
       dw_bias.reshape(1, -1).astype(jnp.float32),
       pw_w,
       pw_eff.reshape(1, -1).astype(jnp.float32),
       pw_bias.reshape(1, -1).astype(jnp.float32))
-    return out[..., :oc]
+    return out if ocq == oc else out[..., :oc]
 
 
 def fused_dw_pw_int8(

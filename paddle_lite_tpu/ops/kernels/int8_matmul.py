@@ -143,6 +143,29 @@ def _int8_matmul_impl(x_q, w_q, eff_scale, bias, *, act, act_attrs_tuple,
     return out[:m, :n]
 
 
+def pack_factor(m: int, k: int, n: int) -> int:
+    """Row-packing factor for lane-starved GEMMs — measured OUT as an
+    op-level transform; always returns 1 (kept for the record + the r5
+    study).
+
+    The idea: a (M, K)@(K, N) problem with K<128 or N<128 could view P
+    contiguous rows as ONE row of P*K values against a block-diagonal
+    (P*K, P*N) weight (bit-exact).  MEASURED (tools/studies/mnv1_pw_r5.py,
+    the MNv1 112px 32->64 pointwise, 802816x32x64): packing LOSES — 600us
+    packed vs 535us unpacked.  Root cause: the "free reshape" is only free
+    on logical row-major bytes.  TPU int8 arrays are stored in (32, 128)
+    tiles, so an (M, 32) activation is ALREADY physically padded to 128
+    lanes (4x its logical bytes) and the (M/4, 128) view is a genuinely
+    different tiled layout — the reshape is a relayout copy that costs
+    more than the GEMM saves.  At the PHYSICAL bytes (~205 MB, not 77 MB)
+    the unpacked GEMM already runs at ~385 GB/s ≈ half of HBM peak; the
+    waste is the layout the tensor LIVES in, which only a graph-level fix
+    (keeping the dw->pw intermediate in VMEM via fused_dw_pw, or packing a
+    whole region's layout) can remove.
+    """
+    return 1
+
+
 def int8_matmul(
     x_q,
     w_q,
@@ -159,14 +182,17 @@ def int8_matmul(
     is given.  ``eff_scale`` is s_x*s_w per output column (shape (N,) or
     scalar broadcast).  ``blocks`` overrides the (bm, bk, bn) tile choice;
     by default the measured per-bucket table is consulted
-    (tune_cache.lookup_blocks), falling back to the static heuristic."""
+    (tune_cache.lookup_blocks), falling back to the static heuristic.
+
+    Row-packing of lane-starved shapes was measured out at this level (see
+    :func:`pack_factor` for the full negative result)."""
+    m, k = x_q.shape
+    n = w_q.shape[1]
+    eff_scale = jnp.broadcast_to(jnp.asarray(eff_scale, jnp.float32), (n,))
     if blocks is None and not interpret:
         from . import tune_cache
 
-        blocks = tune_cache.lookup_blocks(x_q.shape[0], x_q.shape[1],
-                                          w_q.shape[1])
-    eff_scale = jnp.broadcast_to(jnp.asarray(eff_scale, jnp.float32),
-                                 (w_q.shape[1],))
+        blocks = tune_cache.lookup_blocks(m, k, n)
     act_attrs_tuple = tuple(sorted(act_attrs.items())) if act_attrs else None
     return _int8_matmul_impl(
         x_q, w_q, eff_scale, bias,

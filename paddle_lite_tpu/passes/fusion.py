@@ -451,6 +451,8 @@ def deconv_pack(graph: Graph) -> None:
                   and graph.vars[nxt.input("Filter")].shape[:2] == (1, 1)
                   and [int(s) for s in nxt.attrs.get("strides", [1, 1])]
                   == [1, 1]
+                  and not any(int(p)
+                              for p in nxt.attrs.get("paddings", [0, 0]))
                   and int(nxt.attrs.get("groups", 1)) == 1
                   and not nxt.maybe_input("ResidualData")
                   and graph.weights[nxt.input("Filter")].dtype == np.float32

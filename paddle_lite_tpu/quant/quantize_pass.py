@@ -50,8 +50,11 @@ class QuantConfig:
     # Depthwise convs are VPU-bound (no MXU help); the VPU has no int8 MAC,
     # so int8 depthwise lowers to int32 multiplies that can run BELOW fp32
     # throughput. True keeps them int8 (saves HBM traffic in dw-heavy
-    # MobileNets); set False for large-spatial dw trunks if measured slower.
-    quant_depthwise: bool = True
+    # MobileNets); False keeps them float; an int value quantizes only dw
+    # with <= that many channels (lane-starved dw streams its f32 tensors
+    # up to 8x padded, so narrow dw wins int8 even where wide dw loses —
+    # the DBNet r5 finding, docs/dbnet_trunk_r5.json).
+    quant_depthwise: object = True
     # Compute dtype for int8 depthwise ("int32" | "bf16"): bf16 keeps the
     # int8 HBM edges but runs the VPU window multiply in bf16 (int8 values
     # are exact in bf16; ≤7×7 windows accumulate < 2^24 so the result is
@@ -71,6 +74,12 @@ class QuantConfig:
     # systematic (per-TENSOR weights, sub-8-bit); measured neutral-to-noisy
     # with per-channel int8 weights, hence default off.
     bias_correction: bool = False
+    # Fuse eligible lane-starved dw+pw int8 blocks into one Pallas kernel
+    # (ops/fused.py dw_pw_fuse): the dw output never round-trips HBM in its
+    # physically lane-padded (C<128 -> 128-lane) storage. Measured r5: the
+    # MNv1 112px block 3.2x standalone (tools/studies/dwpw_r5.py); enabled
+    # per-model in models/zoo_config.py where the in-model A/B won.
+    fuse_dw_pw: bool = False
     # Weight-only storage quantization (8 or 16): calibration-free; weights
     # stored int8/int16 + per-channel scales, inline-dequantized at run.
     # The SaveModelNaive quantize-on-save analog. Mutually exclusive with
@@ -138,8 +147,16 @@ def quantize_weight_per_tensor(w: np.ndarray):
 def _is_quantizable(graph: Graph, op: OpNode, config: QuantConfig) -> bool:
     if op.op_type not in QUANTIZABLE_OPS:
         return False
-    if op.op_type == "depthwise_conv2d" and not config.quant_depthwise:
-        return False
+    if op.op_type == "depthwise_conv2d" and config.quant_depthwise is not True:
+        # quant_depthwise: True = all, False = none, int = only dw whose
+        # channel count is <= the threshold.  The int tier exists for
+        # lane-starved trunks (DBNet r5): a 16-channel f32 dw streams its
+        # tensors 8x padded ((8,128) tiling), so int8 HBM edges win there
+        # even though wide dw measured faster float (docs/dbnet_dw_r3.json
+        # was all-or-nothing; docs/dbnet_trunk_r5.json is the per-width A/B).
+        limit = int(config.quant_depthwise)  # False -> 0
+        if graph.vars[op.input("Input")].shape[3] > limit:
+            return False
     if op.op_type == "conv2d" and config.skip_stem_conv:
         # Stem convs (graph-input data, <=4 channels) stay float: K = k*k*C
         # is tiny (27 for an RGB 3x3), so int8 buys no MXU time, while the

@@ -108,9 +108,10 @@ def optimize(
 
             apply_bias_correction(graph, fp32_snapshot,
                                   calib_result.channel_means)
-        if fuse_dw_pw:
-            # inter-op dw+pw fusion (Pallas-only win; off by default until
-            # validated end-to-end on the target chip — see dw_pw_fused.py)
+        if fuse_dw_pw or quant.fuse_dw_pw:
+            # inter-op dw+pw fusion of lane-starved blocks (Pallas kernel
+            # keeps the padded-layout intermediate in VMEM; measured per
+            # model — see ops/fused.py and models/zoo_config.py)
             PassManager(["dw_pw_fuse"]).run(graph, verbose=verbose)
     PassManager(FINALIZE_PASSES).run(graph, verbose=verbose)
     if quant is not None and quant.island_dtype != "float32":

@@ -1,0 +1,111 @@
+"""r5: continuous-batcher tail latency under open-loop load (VERDICT r4
+missing #1, second half).
+
+Drives the serving stack (ContinuousBatcher over bucketed Predictors,
+MobileNetV1 int8) with an open-loop Poisson arrival stream at fractions of
+the measured single-stream capacity and reports per-request p50/p95/p99.
+
+Caveat recorded with the numbers: the dev-tunnel async backend adds
+~28 ms RTT to every readback, so ABSOLUTE latencies here are tunnel-bound;
+the signal is the shape under load (queueing onset, bucket fill) — on a
+local chip the same stack runs at device latency.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/studies/batcher_load_r5.py
+Writes docs/batcher_load_r5.json.
+"""
+import os, json, time, threading
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax, numpy as np
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from paddle_lite_tpu.models import mobilenet_v1
+from paddle_lite_tpu.models.zoo_config import recommended_quant
+from paddle_lite_tpu.tools.opt import optimize
+from paddle_lite_tpu.runtime.predictor import Predictor
+from paddle_lite_tpu.runtime.batcher import BatcherConfig, ContinuousBatcher
+
+SIZE = 224
+rng = np.random.default_rng(0)
+calib = {"image": rng.normal(size=(8, SIZE, SIZE, 3)).astype(np.float32)}
+
+_graphs = {}
+
+
+def factory(batch):
+    g = mobilenet_v1.build(batch=batch, image_size=SIZE, seed=0)
+    optimize(g, quant=recommended_quant("mobilenet_v1"),
+             calib_batches=[{"image": calib["image"][:1].repeat(batch, 0)}])
+    return Predictor(g)
+
+
+cfg = BatcherConfig(buckets=(1, 2, 4, 8, 16, 32, 64), max_wait_ms=2.0,
+                    model="mobilenet_v1")
+batcher = ContinuousBatcher(factory, cfg)
+
+img = rng.normal(size=(SIZE, SIZE, 3)).astype(np.float32)
+
+# warm every bucket (compile) with a burst
+print("warming buckets...", flush=True)
+futs = [batcher.submit({"image": img}) for _ in range(max(cfg.buckets))]
+for f in futs:
+    f.result(timeout=600)
+print("warm.", flush=True)
+
+# closed-loop capacity probe: saturate with a deep burst, measure drain rate
+t0 = time.perf_counter()
+NPROBE = 256
+futs = [batcher.submit({"image": img}) for _ in range(NPROBE)]
+for f in futs:
+    f.result(timeout=600)
+cap = NPROBE / (time.perf_counter() - t0)
+print(f"burst capacity ~{cap:.0f} req/s (tunnel-bound)", flush=True)
+
+results = {"capacity_req_per_s": round(cap, 1),
+           "caveat": "absolute latencies include ~28ms dev-tunnel RTT per "
+                     "dispatch; shape-under-load is the signal",
+           "loads": []}
+
+for frac in (0.25, 0.5, 0.8):
+    rate = cap * frac
+    lat = []
+    lock = threading.Lock()
+    stop_at = time.perf_counter() + 12.0
+    rng2 = np.random.default_rng(1)
+
+    def recorder(f, t_submit):
+        f.result(timeout=600)
+        with lock:
+            lat.append(time.perf_counter() - t_submit)
+
+    threads = []
+    t_next = time.perf_counter()
+    n = 0
+    while time.perf_counter() < stop_at:
+        now = time.perf_counter()
+        if now < t_next:
+            time.sleep(min(t_next - now, 0.005))
+            continue
+        t_sub = time.perf_counter()
+        f = batcher.submit({"image": img})
+        th = threading.Thread(target=recorder, args=(f, t_sub))
+        th.start()
+        threads.append(th)
+        n += 1
+        t_next += float(rng2.exponential(1.0 / rate))
+    for th in threads:
+        th.join(timeout=600)
+    lat_ms = np.asarray(sorted(lat)) * 1e3
+    row = {"load_frac": frac, "rate_req_s": round(rate, 1), "n": n,
+           "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+           "p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
+           "p99_ms": round(float(np.percentile(lat_ms, 99)), 1)}
+    print(row, flush=True)
+    results["loads"].append(row)
+
+results["batcher_stats"] = dict(batcher.stats)
+batcher.close()
+out = "/root/repo/docs/batcher_load_r5.json"
+json.dump(results, open(out, "w"), indent=1)
+print("wrote", out, flush=True)
