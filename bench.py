@@ -63,8 +63,9 @@ def main() -> None:
     fp32_ips = _device_throughput(g32)
 
     int8_variants = {}
-    # "fused" (dw+pw single-kernel) measured 12.7k img/s — correct but
-    # blocked on VPU-stencil speed (see dw_pw_fused.py); not benched here
+    # "fused" (dw+pw single-kernel) stays off the bench: after the r5
+    # kernel rework it wins 3.2x STANDALONE at the 112px block but costs
+    # 3.0ms in-model at the custom-call boundary (docs/dwpw_inmodel2_r5.json)
     for plan in ("xla", "auto"):
         g8 = mobilenet_v1.build(batch=BATCH, image_size=SIZE, seed=0)
         optimize(g8, quant=QuantConfig(), calib_batches=calib)

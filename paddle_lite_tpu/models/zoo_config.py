@@ -39,8 +39,11 @@ RECOMMENDED: dict = {
     "dbnet": {"quant_depthwise": False},
     "ppocr_rec": {"island_dtype": "bfloat16"},
     "crnn": {"island_dtype": "bfloat16"},
-    # long-strip recognition (T=400, hidden=64): the bigru Pallas kernel's
-    # measured win region — serve at b<=16 (docs/crnn_long_r5.json)
+    # long-strip recognition (T=400, hidden=64), serve at b<=16 — measured
+    # int8 8,489 vs fp32 6,025 lines/s (1.41x, docs/crnn_long_r5.json).
+    # This config was also the bigru Pallas kernel's last-stand A/B: its
+    # one standalone win region measured a TIE in-model, so the kernel was
+    # deleted and the scan runs XLA everywhere.
     "ppocr_rec_long": {"island_dtype": "bfloat16"},
     "crnn_long": {"island_dtype": "bfloat16"},
     "ernie_tiny": {"island_dtype": "bfloat16"},

@@ -325,17 +325,27 @@ def multiclass_nms_shape(attrs, in_shapes):
     return [(n, keep, 6)]
 
 
-def _nms_merge(s_all, cand_all, *, background: int, keep_top_k: int):
+def _nms_merge(s_all, cand_all, *, background: int, keep_top_k: int,
+               labels=None):
     """Cross-class merge for one image: zero the background class, flatten,
     keep the global top keep_top_k as (keep_top_k, 6) rows
     [label, score, x1, y1, x2, y2]; empty slots label = -1 (the fixed-shape
-    analog of the reference's LoD-ragged NMS output)."""
+    analog of the reference's LoD-ragged NMS output).
+
+    ``labels``: optional (C,) float label per class ROW — used when the
+    caller already removed the background class before NMS (the pallas
+    path), so row index != class id; pass background=-1 then."""
     cls_ids = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 0)
     valid = cls_ids != background
     s_all = jnp.where(valid, s_all, 0.0)
     s = s_all.reshape(-1)
     b = cand_all.reshape(-1, 4)
-    l = cls_ids.astype(jnp.float32).reshape(-1)
+    if labels is not None:
+        l = jnp.broadcast_to(
+            jnp.asarray(labels, jnp.float32)[:, None], s_all.shape
+        ).reshape(-1)
+    else:
+        l = cls_ids.astype(jnp.float32).reshape(-1)
     k = min(keep_top_k, s.shape[0])
     top_s, idx = jax.lax.top_k(s, k)
     rows = jnp.concatenate(
@@ -410,10 +420,20 @@ def multiclass_nms_pallas(ctx, op, ins):
     # recall trade-off in docs/PARITY and the model attr)
     approx = attrs.get("approx_top_k", False)
     n, m, c = scores.shape
-    k = min(nms_top_k, m)
 
     boxes = boxes.astype(jnp.float32)
     scores = scores.astype(jnp.float32)
+
+    # NOT done here (r5, measured): dropping the background class before
+    # the NMS cores.  It is exact (bg can never reach the output) and cuts
+    # 1/21 of the quadratic kernel work (~0.16 ms), but the class-axis
+    # slice runs on the PHYSICALLY lane-padded (N, M, 21->128) tensor — a
+    # ~71 MB relayout copy that cost MORE: SSD b32 measured 4,550 vs 5,002
+    # img/s with the skip in (docs/bench_rows_r5 history; the same
+    # physical-layout law as docs/mnv1_pw_r5.json).  _nms_merge keeps the
+    # ``labels`` remap support should a layout-free skip ever exist.
+    labels = None
+    k = min(nms_top_k, m)
 
     # "bucket" = top-1 per bucket; "bucket<N>" = top-N per (wider) bucket
     topn = 1
@@ -487,7 +507,8 @@ def multiclass_nms_pallas(ctx, op, ins):
     )  # (N*C, k)
 
     merge = jax.vmap(lambda s_all, cand_all: _nms_merge(
-        s_all, cand_all, background=background, keep_top_k=keep_top_k))
+        s_all, cand_all, background=background, keep_top_k=keep_top_k,
+        labels=labels))
     out = merge(kept.reshape(n, c, k), cand)
     return {"Out": [out]}
 

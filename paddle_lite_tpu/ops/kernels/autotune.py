@@ -63,23 +63,9 @@ def choose_kernel(graph, op) -> Optional[str]:
         # Jacobi round — measured 7.6ms of the 10.0ms SSD-MobileNetV1 b32
         # batch. Not int8-gated: NMS runs in the fp island either way.
         return "pallas"
-    if op.op_type == "bidirectional_gru":
-        # fp-island op (not int8-gated): the VMEM-resident scan kernel
-        # (gru_scan.py) vs XLA's per-step-HBM lax.scan, measured per
-        # (T, B, 3H) shape like every other table entry
-        from . import gru_scan, tune_cache
-
-        x = graph.vars[op.input("Input")]
-        b, t, three_h = x.shape
-        # dtype-qualified lookup: bf16-island scans consult the bf16-
-        # measured entry, fp32 scans the fp32 one (a bf16 winner says
-        # nothing about the fp32 balance — VMEM and HBM bytes both double)
-        itemsize = 2 if graph.meta.get("island_dtype") == "bfloat16" else 4
-        if gru_scan.supported(t, b, three_h, itemsize,
-                              op.attrs.get("gate_activation", "sigmoid"),
-                              op.attrs.get("activation", "tanh")):
-            return tune_cache.lookup_bigru(t, b, three_h, itemsize) or "xla"
-        return None
+    # bidirectional_gru always runs the XLA scan: the Pallas gru_scan
+    # kernel was deleted in r5 — no config ever shipped an in-model win
+    # (docs/bigru_sweep_r4.json, docs/crnn_long_r5.json).
     if not op.attrs.get("enable_int8"):
         return None
     if op.op_type == "depthwise_conv2d":

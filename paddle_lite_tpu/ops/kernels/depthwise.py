@@ -59,8 +59,20 @@ def _pick_row_chunk(h: int) -> int:
     return 1
 
 
+def _batch_block(n: int, h: int, w: int) -> int:
+    """Images per grid step.  Small-spatial stages (7-14px tails of
+    MNv3/SSD) do ~56k MACs per step under the 1-image grid — pure per-step
+    overhead; blocking several images amortizes it while the VMEM slab
+    stays tiny.  Large-spatial stages keep bb=1 (current behavior)."""
+    cap = max(1, 4096 // (h * w))
+    bb = 1
+    while bb * 2 <= min(cap, 16) and n % (bb * 2) == 0:
+        bb *= 2
+    return bb
+
+
 def _dw_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
-               h: int, w: int, row_chunk: int, act, act_attrs,
+               h: int, w: int, row_chunk: int, bb: int, act, act_attrs,
                out_scale, out_dtype):
     wt = w_ref[:]  # (9, BC) int8 taps
     scale = scale_ref[:]  # (1, BC) f32
@@ -71,20 +83,22 @@ def _dw_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
     # once pay 3x, and the remaining per-tap reads slice only the H axis —
     # a non-tiled dimension, free.  The row loop then runs pure int32 MACs
     # (the VPU-roofline term; see docs/ROOFLINE.md depthwise section).
-    xs3 = [x_ref[0, :, j:j + w, :] for j in range(3)]  # (h+2, w, BC) each
-    for rc in range(h // row_chunk):
-        r0 = rc * row_chunk
-        acc = jnp.zeros((row_chunk, w, _BC), jnp.int32)
-        for i in range(3):
-            for j in range(3):
-                xs = xs3[j][r0 + i:r0 + i + row_chunk]
-                acc = acc + xs.astype(jnp.int32) * wt[3 * i + j].astype(jnp.int32)
-        y = acc.astype(jnp.float32) * scale[0]
-        y = y + bias[0]
-        y = apply_activation(y, act, act_attrs)
-        if out_scale is not None:
-            y = jnp.clip(jnp.round(y * (1.0 / out_scale)), -127, 127)
-        out_ref[0, r0:r0 + row_chunk, :, :] = y.astype(out_dtype)
+    for bi in range(bb):
+        xs3 = [x_ref[bi, :, j:j + w, :] for j in range(3)]  # (h+2, w, BC)
+        for rc in range(h // row_chunk):
+            r0 = rc * row_chunk
+            acc = jnp.zeros((row_chunk, w, _BC), jnp.int32)
+            for i in range(3):
+                for j in range(3):
+                    xs = xs3[j][r0 + i:r0 + i + row_chunk]
+                    acc = acc + xs.astype(jnp.int32) * wt[3 * i + j].astype(
+                        jnp.int32)
+            y = acc.astype(jnp.float32) * scale[0]
+            y = y + bias[0]
+            y = apply_activation(y, act, act_attrs)
+            if out_scale is not None:
+                y = jnp.clip(jnp.round(y * (1.0 / out_scale)), -127, 127)
+            out_ref[bi, r0:r0 + row_chunk, :, :] = y.astype(out_dtype)
 
 
 @functools.partial(
@@ -106,15 +120,17 @@ def _dw3x3s1_impl(x, w9, eff_scale, bias, *, act, act_attrs_tuple,
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # SAME padding
     out_dtype = jnp.int8 if out_scale is not None else jnp.float32
     row_chunk = _pick_row_chunk(h)
+    bb = _batch_block(n, h, wdt)
 
     out = pl.pallas_call(
         functools.partial(
-            _dw_kernel, h=h, w=wdt, row_chunk=row_chunk, act=act,
+            _dw_kernel, h=h, w=wdt, row_chunk=row_chunk, bb=bb, act=act,
             act_attrs=act_attrs, out_scale=out_scale, out_dtype=out_dtype,
         ),
-        grid=(n, cq // _BC),
+        grid=(n // bb, cq // _BC),
         in_specs=[
-            pl.BlockSpec((1, h + 2, wdt + 2, _BC), lambda b, cb: (b, 0, 0, cb),
+            pl.BlockSpec((bb, h + 2, wdt + 2, _BC),
+                         lambda b, cb: (b, 0, 0, cb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, _BC), lambda b, cb: (0, cb),
                          memory_space=pltpu.VMEM),
@@ -123,7 +139,7 @@ def _dw3x3s1_impl(x, w9, eff_scale, bias, *, act, act_attrs_tuple,
             pl.BlockSpec((1, _BC), lambda b, cb: (0, cb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, wdt, _BC), lambda b, cb: (b, 0, 0, cb),
+        out_specs=pl.BlockSpec((bb, h, wdt, _BC), lambda b, cb: (b, 0, 0, cb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wdt, cq), out_dtype),
         compiler_params=pltpu.CompilerParams(

@@ -38,6 +38,13 @@ import numpy as np
 
 def _nms_kernel(b_ref, s_ref, sc_ref, o_ref, *, iou_t: float, score_t: float,
                 k: int):
+    # NOTE (r5, measured): an empty-instance guard (`pl.when(any(s >
+    # score_t))` around the whole body, zeros otherwise) was tried and
+    # REVERTED — wrapping the body in a predicate cost ~10% whole-model on
+    # SSD b32 (int8 5,002 -> 4,488 img/s) even though every bench instance
+    # is non-empty: the branch defeats Mosaic's grid pipelining.  Sparse
+    # real-data skipping would need a cheaper mechanism than a body-wide
+    # predicate.
     b = b_ref[0]          # (k, 4) f32 candidate boxes (any order)
     s = s_ref[0]          # (1, k) f32 candidate scores; the (G, 1, k) and
     s_col = sc_ref[0]     # (k, 1) f32 duplicate — row and column layouts

@@ -247,38 +247,6 @@ def tune_graph(graph, *, verbose: bool = False,
     results: Dict[str, str] = {}
     seen = set()
     for op in graph.ops:
-        if op.op_type == "bidirectional_gru":
-            from . import gru_scan
-
-            x = graph.vars[op.input("Input")]
-            b, t, three_h = x.shape
-            # measure at the dtype the graph actually serves the scan in
-            # (bf16 islands → bf16, else fp32) and key the entry by it —
-            # a bf16-measured winner must not steer an fp32 scan; the
-            # serving-time route additionally re-checks VMEM fit at the
-            # op's real dtype (sequence.py)
-            dtype = ("bfloat16" if graph.meta.get("island_dtype")
-                     == "bfloat16" else "float32")
-            itemsize = 2 if dtype == "bfloat16" else 4
-            if not gru_scan.supported(
-                    t, b, three_h, itemsize,
-                    op.attrs.get("gate_activation", "sigmoid"),
-                    op.attrs.get("activation", "tanh")):
-                continue
-            key = _bigru_key(t, b, three_h, itemsize)
-            if key in seen:
-                continue
-            seen.add(key)
-            try:
-                results[key] = measure_bigru(t, b, three_h, dtype=dtype,
-                                             verbose=verbose)
-            except Exception as e:  # Mosaic/compile rejection → XLA
-                if verbose:
-                    print(f"  {key}: measure failed ({type(e).__name__}) "
-                          "-> xla", flush=True)
-                _store({key: "xla"})
-                results[key] = "xla"
-            continue
         if not op.attrs.get("enable_int8"):
             continue
         if op.op_type == "depthwise_conv2d":
@@ -331,11 +299,6 @@ def _op_table_key(graph, op) -> Optional[str]:
     for ops whose pick is not table-driven (e.g. the NMS Pallas kernel)."""
     from .autotune import _gemm_problem
 
-    if op.op_type == "bidirectional_gru":
-        x = graph.vars[op.input("Input")]
-        b, t, three_h = x.shape
-        itemsize = 2 if graph.meta.get("island_dtype") == "bfloat16" else 4
-        return _bigru_key(t, b, three_h, itemsize)
     if op.op_type == "depthwise_conv2d":
         x = graph.vars[op.input("Input")]
         w = graph.vars[op.input("Filter")]
@@ -399,102 +362,11 @@ def validate_in_model(graph, feed, *, min_win: float = 1.01,
     return decisions
 
 
-def _bigru_key(t: int, b: int, three_h: int, itemsize: int = 2) -> str:
-    # dtype-qualified: a winner measured at bf16 (itemsize 2, the CRNN
-    # serving dtype and the unsuffixed legacy key) must not be applied to
-    # an fp32 scan — the kernel-vs-XLA balance shifts with the itemsize
-    # (VMEM residency and HBM bytes both double), not just VMEM fit
-    suffix = "" if itemsize == 2 else "_f32"
-    return f"bigru{suffix}_{_bucket(t)}x{_bucket(b)}x{_bucket(three_h)}"
-
-
-def lookup_bigru(t: int, b: int, three_h: int,
-                 itemsize: int = 2) -> Optional[str]:
-    return _load().get(_bigru_key(t, b, three_h, itemsize))
-
-
-def measure_bigru(t: int, b: int, three_h: int, *, dtype="bfloat16",
-                  verbose: bool = False) -> str:
-    """Time the VMEM-resident Pallas bigru scan vs the XLA lax.scan lowering
-    for a (T, B, 3H) problem (both directions; fp32 compute either way)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from .gru_scan import bigru_pallas
-
-    h = three_h // 3
-    rng = np.random.default_rng(0)
-    dt = jnp.dtype(dtype)
-    x_fw = jax.device_put(rng.normal(size=(t, b, three_h)).astype(dt))
-    x_bw = jax.device_put(rng.normal(size=(t, b, three_h)).astype(dt))
-    w_fw = jax.device_put((rng.normal(size=(h, three_h)) * 0.1).astype(dt))
-    w_bw = jax.device_put((rng.normal(size=(h, three_h)) * 0.1).astype(dt))
-    interp = jax.default_backend() != "tpu"
-
-    def one_pallas(xc):
-        a, bw_ = bigru_pallas(xc, x_bw, w_fw, w_bw, interpret=interp)
-        return jnp.concatenate([a, bw_], axis=-1)
-
-    def one_xla(xc):
-        def direction(x_d, w_d):
-            w_g, w_c = w_d[:, : 2 * h], w_d[:, 2 * h:]
-
-            def step(h_prev, x_t):
-                x32 = x_t.astype(jnp.float32)
-                g = x32[:, : 2 * h] + h_prev @ w_g.astype(jnp.float32)
-                u = jax.nn.sigmoid(g[:, :h])
-                r = jax.nn.sigmoid(g[:, h:])
-                c = jnp.tanh(x32[:, 2 * h:]
-                             + (r * h_prev) @ w_c.astype(jnp.float32))
-                hn = u * h_prev + (1.0 - u) * c
-                return hn, hn.astype(x_t.dtype)
-
-            init = jnp.zeros((b, h), jnp.float32)
-            _, hs = jax.lax.scan(step, init, x_d)
-            return hs
-
-        outs = jax.vmap(direction)(jnp.stack([xc, x_bw]),
-                                   jnp.stack([w_fw, w_bw]))
-        return jnp.concatenate([outs[0], outs[1]], axis=-1)
-
-    def timed(one, min_window: float = 0.25):
-        @jax.jit
-        def looped(xc, it):
-            def body(i, carry):
-                out = one(carry)
-                return carry.at[0, 0, 0].set(
-                    carry[0, 0, 0] + out[0, 0, 0] * 1e-12)
-
-            return jnp.sum(jax.lax.fori_loop(0, it, body, xc)[0, 0, :1]
-                           .astype(jnp.float32))
-
-        def tt(it):
-            t0 = time.perf_counter()
-            float(jax.device_get(looped(x_fw, jnp.int32(it))))
-            return time.perf_counter() - t0
-
-        tt(1)
-        import numpy as _np
-        loop = 16
-        while True:
-            d = float(_np.median([tt(1 + loop) - tt(1) for _ in range(3)]))
-            if d >= min_window or loop >= 1 << 20:
-                break
-            loop = min(max(int(loop * min_window * 1.3 / max(d, 1e-4)) + 1,
-                           loop * 2), 1 << 20)
-        deltas = [tt(1 + loop) - tt(1) for _ in range(3)]
-        good = [v for v in deltas if v > min_window / 4] or deltas
-        return float(_np.median(good)) / loop
-
-    t_pallas = timed(one_pallas)
-    t_xla = timed(one_xla)
-    winner = "pallas" if t_pallas < t_xla else "xla"
-    if verbose:
-        print(f"bigru ({t},{b},{three_h}) pallas {t_pallas*1e6:.1f}us "
-              f"xla {t_xla*1e6:.1f}us -> {winner}", flush=True)
-    _store({_bigru_key(t, b, three_h, jnp.dtype(dtype).itemsize): winner})
-    return winner
+# bigru table keys (``bigru_*`` / ``bigru_f32_*``): RETIRED in r5 with the
+# Pallas gru_scan kernel — two rounds of measurement (docs/bigru_sweep_r4
+# .json, docs/crnn_long_r5.json) found no config where the kernel wins
+# IN-MODEL; the ``bidirectional_gru`` op always runs the XLA scan now and
+# stale table entries are simply never consulted.
 
 
 def _dw_key(h: int, c: int, k: int = 3, s: int = 1) -> str:

@@ -291,38 +291,15 @@ def bigru_xla(ctx, op, ins):
     return {"Hidden": [jnp.concatenate([fw, bw], axis=-1)]}
 
 
-@OPS.kernel("bidirectional_gru", "pallas")
-def bigru_pallas_kernel(ctx, op, ins):
-    """VMEM-resident recurrence (ops/kernels/gru_scan.py): the whole T-step
-    scan runs inside ONE Pallas kernel with weights + hidden state resident,
-    vs the XLA scan's per-step HBM round trips.  Falls back to the XLA impl
-    when shapes/activations fall outside the kernel's feasibility gate."""
-    from .kernels import gru_scan
-
-    x_fw = ins["Input"][0]
-    x_bw = ins["InputRev"][0]
-    attrs = op.attrs
-    b_, t, three_h = x_fw.shape
-    if not gru_scan.supported(t, b_, three_h, x_fw.dtype.itemsize,
-                              attrs.get("gate_activation", "sigmoid"),
-                              attrs.get("activation", "tanh")):
-        return bigru_xla(ctx, op, ins)
-    w_fw = ins["WeightFw"][0]
-    w_bw = ins["WeightBw"][0]
-    b_fw = ins.get("BiasFw", [None])[0]
-    b_bw = ins.get("BiasBw", [None])[0]
-    if b_fw is not None:
-        x_fw = x_fw + b_fw
-    if b_bw is not None:
-        x_bw = x_bw + b_bw
-    h = three_h // 3
-    xt_fw = jnp.swapaxes(x_fw, 0, 1)                  # (T, B, 3H)
-    xt_bw = jnp.swapaxes(jnp.flip(x_bw, axis=1), 0, 1)
-    hs_fw, hs_bw = gru_scan.bigru_pallas(
-        xt_fw, xt_bw, w_fw, w_bw, interpret=ctx.platform != "tpu")
-    fw = jnp.swapaxes(hs_fw, 0, 1)                    # (B, T, H)
-    bw = jnp.flip(jnp.swapaxes(hs_bw, 0, 1), axis=1)
-    return {"Hidden": [jnp.concatenate([fw, bw], axis=-1)]}
+# No pallas kernel for bidirectional_gru: the VMEM-resident Pallas scan
+# (ops/kernels/gru_scan.py, r2-r4) was DELETED in r5 after two rounds of
+# measurement found no config where it ships a win — the r4 shape sweep
+# (docs/bigru_sweep_r4.json) left exactly one standalone win region
+# (T=400, b16, hidden 64), and the r5 in-model A/B on that very config
+# (crnn_long, docs/crnn_long_r5.json) measured pallas 8,476 vs xla 8,489
+# items/s — the standalone edge disappears inside the whole jitted model
+# (the same standalone-vs-in-model lesson as depthwise and fused dw+pw).
+# The XLA scan above is the shipped recurrence everywhere.
 
 
 # ---------------------------------------------------------------------------

@@ -44,12 +44,18 @@ def save_entry(model: str, table: Dict[int, float],
 
 def best_bucket(model: str, buckets,
                 autotune_dir: Optional[str] = None) -> Optional[int]:
-    """Measured-throughput-optimal bucket for `model` among `buckets`;
-    None when no measurement exists (caller keeps its default ladder)."""
+    """Measured-throughput-optimal bucket for `model`; None when no
+    measurement exists (caller keeps its default ladder).
+
+    Considers EVERY measured batch, not just the caller's ladder: a
+    throughput peak can sit off the power-of-two ladder (r5: ppocr_det
+    peaks at b6 = 2,371 items/s between the b8-b10 layout cliff and b4 —
+    docs/ppocr_b8_r5.json), and the batcher extends its ladder with the
+    returned bucket when missing."""
     entry = load_table(autotune_dir).get(model)
     if not entry:
         return None
-    known = {int(k): v for k, v in entry.items() if int(k) in set(buckets)}
+    known = {int(k): v for k, v in entry.items()}
     if not known:
         return None
     return max(known, key=known.get)

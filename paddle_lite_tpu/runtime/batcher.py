@@ -72,6 +72,10 @@ class ContinuousBatcher:
                                self.config.autotune_dir)
             if best is not None:
                 capped = tuple(b for b in self.config.buckets if b <= best)
+                if best not in capped:
+                    # the measured peak can sit off the power-of-two ladder
+                    # (ppocr_det peaks at b6 — docs/ppocr_b8_r5.json)
+                    capped = capped + (best,)
                 self.config = dataclasses.replace(self.config,
                                                   buckets=capped or (best,))
         self._factory = predictor_factory

@@ -42,10 +42,8 @@ def resolve_builder(model: str):
         return lambda batch, image_size=320, **kw: build_rec(
             batch=batch, width=image_size)
     if model in ("ppocr_rec_long", "crnn_long"):
-        # Long-strip OCR recognition (T=400 time steps, wider GRU): the
-        # latency-serving regime where the VMEM bigru Pallas kernel is the
-        # measured winner (docs/bigru_sweep_r4.json: (400,16,64) -> pallas;
-        # in-model row docs/crnn_long_r5.json). Serve at b<=16.
+        # Long-strip OCR recognition (T=400 time steps, wider GRU), served
+        # at b<=16 — measured row in docs/crnn_long_r5.json (int8 1.41x).
         from ..models.ppocr import build_rec
 
         return lambda batch, image_size=1600, **kw: build_rec(

@@ -121,19 +121,3 @@ def test_measure_gemm_interpret_smoke(tmp_path, monkeypatch):
     assert winner in ("pallas", "xla")
     assert json.loads(cache.read_text())
     tune_cache._load.cache_clear()
-
-
-def test_bigru_keys_are_dtype_qualified(tmp_path, monkeypatch):
-    """A bf16-measured bigru winner must not steer an fp32 scan: keys carry
-    the itemsize (bf16 keeps the legacy unsuffixed key; fp32 gets _f32)."""
-    from paddle_lite_tpu.ops.kernels import tune_cache
-
-    monkeypatch.setenv(tune_cache._CACHE_ENV, str(tmp_path / "gemm.json"))
-    k_bf16 = tune_cache._bigru_key(80, 64, 144, 2)
-    k_fp32 = tune_cache._bigru_key(80, 64, 144, 4)
-    assert k_bf16 != k_fp32
-    assert not k_bf16.startswith("bigru_f32")
-    assert k_fp32.startswith("bigru_f32")
-    tune_cache._store({k_bf16: "pallas"})
-    assert tune_cache.lookup_bigru(80, 64, 144, 2) == "pallas"
-    assert tune_cache.lookup_bigru(80, 64, 144, 4) is None

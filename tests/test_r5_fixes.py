@@ -118,6 +118,44 @@ def test_deconv_pack_skips_padded_1x1_sink(rng):
 # ADVICE r4: xla NMS kernel must handle the bucket* tier strings explicitly
 # ---------------------------------------------------------------------------
 
+def test_multiclass_nms_pallas_background_matches_xla(rng):
+    """r5: background-class handling parity between the pallas and xla
+    kernels for background at the front, middle, and end of the class
+    axis, and background never appears in the output.  (A pre-NMS
+    background SKIP was tried and reverted — the lane-padded class-axis
+    slice cost more than the saved quadratic work; see detection.py.)"""
+    from paddle_lite_tpu.core.executor import ExecutionContext
+    from paddle_lite_tpu.ops.detection import (multiclass_nms_pallas,
+                                               multiclass_nms_xla)
+
+    class Op:
+        op_type = "multiclass_nms"
+
+        def __init__(self, **attrs):
+            self.attrs = {"score_threshold": 0.01, "nms_top_k": 40,
+                          "nms_threshold": 0.45, "keep_top_k": 20, **attrs}
+
+        def input(self, s):
+            return s
+
+    N, M, C = 2, 120, 6
+    centers = rng.uniform(0.1, 0.9, (N, M, 2))
+    wh = rng.uniform(0.02, 0.3, (N, M, 2))
+    boxes = jnp.asarray(np.concatenate([centers - wh / 2, centers + wh / 2],
+                                       -1), jnp.float32)
+    scores = jnp.asarray(rng.dirichlet(np.ones(C) * 0.2, (N, M)), jnp.float32)
+    ins = {"BBoxes": [boxes], "Scores": [scores]}
+    ctx = ExecutionContext(graph=None, platform="cpu", interpret=True)
+    for bg in (0, 2, C - 1):
+        a = multiclass_nms_xla(
+            ctx, Op(background_label=bg, approx_top_k=False), ins)["Out"][0]
+        b = multiclass_nms_pallas(
+            ctx, Op(background_label=bg, approx_top_k=False), ins)["Out"][0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        got_labels = set(np.asarray(b)[..., 0].ravel().tolist())
+        assert float(bg) not in got_labels
+
+
 def test_multiclass_nms_xla_bucket_string_falls_back_to_approx(rng):
     from paddle_lite_tpu.core.executor import ExecutionContext
     from paddle_lite_tpu.ops.detection import multiclass_nms_xla

@@ -40,17 +40,21 @@ def factory(batch):
     return Predictor(g)
 
 
-cfg = BatcherConfig(buckets=(1, 2, 4, 8, 16, 32, 64), max_wait_ms=2.0,
+cfg = BatcherConfig(buckets=(1, 2, 4, 8, 16, 32, 64), max_wait_ms=5.0,
                     model="mobilenet_v1")
 batcher = ContinuousBatcher(factory, cfg)
 
 img = rng.normal(size=(SIZE, SIZE, 3)).astype(np.float32)
 
-# warm every bucket (compile) with a burst
-print("warming buckets...", flush=True)
-futs = [batcher.submit({"image": img}) for _ in range(max(cfg.buckets))]
-for f in futs:
-    f.result(timeout=600)
+# warm EVERY ladder bucket (exact-size bursts, one at a time) — the first
+# version warmed only the buckets a full burst happened to hit, so the
+# low-load run then measured 10s COMPILES of cold partial-batch buckets
+# as "latency"
+print("warming buckets:", batcher.config.buckets, flush=True)
+for b in batcher.config.buckets:
+    futs = [batcher.submit({"image": img}) for _ in range(b)]
+    for f in futs:
+        f.result(timeout=900)
 print("warm.", flush=True)
 
 # closed-loop capacity probe: saturate with a deep burst, measure drain rate
@@ -67,19 +71,26 @@ results = {"capacity_req_per_s": round(cap, 1),
                      "dispatch; shape-under-load is the signal",
            "loads": []}
 
-for frac in (0.25, 0.5, 0.8):
+# Load fractions of BURST capacity. The burst number amortizes one deep
+# queue into the largest bucket; under open-loop arrivals the dispatcher
+# pays the ~28ms tunnel RTT PER DISPATCH, so the sustainable rate is
+# bucket_fill x ~35 dispatches/s — fractions >=0.5 of burst diverge
+# (first run: p50 7s at 0.5). Measured fractions stay in the stable
+# region; the divergence itself is recorded in the caveat.
+for frac in (0.1, 0.25, 0.4):
     rate = cap * frac
-    lat = []
-    lock = threading.Lock()
-    stop_at = time.perf_counter() + 12.0
     rng2 = np.random.default_rng(1)
+    # per-request completion via done-callbacks (no thread-per-request,
+    # no poll-order inflation)
+    done_at = {}
 
-    def recorder(f, t_submit):
-        f.result(timeout=600)
-        with lock:
-            lat.append(time.perf_counter() - t_submit)
+    def _mk(i):
+        def cb(_):
+            done_at[i] = time.perf_counter()
+        return cb
 
-    threads = []
+    pending = []
+    stop_at = time.perf_counter() + 12.0
     t_next = time.perf_counter()
     n = 0
     while time.perf_counter() < stop_at:
@@ -87,15 +98,15 @@ for frac in (0.25, 0.5, 0.8):
         if now < t_next:
             time.sleep(min(t_next - now, 0.005))
             continue
-        t_sub = time.perf_counter()
         f = batcher.submit({"image": img})
-        th = threading.Thread(target=recorder, args=(f, t_sub))
-        th.start()
-        threads.append(th)
+        f.add_done_callback(_mk(len(pending)))
+        pending.append((f, time.perf_counter()))
         n += 1
         t_next += float(rng2.exponential(1.0 / rate))
-    for th in threads:
-        th.join(timeout=600)
+    for f, _ in pending:
+        f.result(timeout=900)
+    lat = [done_at[i] - t for i, (f, t) in enumerate(pending)
+           if i in done_at]
     lat_ms = np.asarray(sorted(lat)) * 1e3
     row = {"load_frac": frac, "rate_req_s": round(rate, 1), "n": n,
            "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),

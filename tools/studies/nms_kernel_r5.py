@@ -20,7 +20,21 @@ Variants raced here (all exact vs the shipped kernel on the same data):
       within-block chains against already-final predecessors.  Needs a
       sort+gather in the wrapper — measured separately (SORT row).
 
-Writes docs/nms_kernel_r5.json.
+RESULT (docs/nms_kernel_r5.json): the restructure is CLOSED as
+toolchain-blocked + wrapper-bound, with receipts —
+  * K1 and K2 both CRASH the Mosaic compiler (tpu_compile_helper exit 1
+    via remote-compile HTTP 500, reproduced on a quiet chip) — the
+    column-tiled sup expressions inside/feeding a while_loop join the r4
+    list of Mosaic-rejected NMS shapes (bf16/int8/i1 relayouts).
+  * K3's wrapper is dead on arrival: sort+gather at (672, 640) costs
+    3.24 ms — MORE than the entire shipped kernel (2.94 ms on this data).
+  * The r4 decomposition already bounded the rebuild arithmetic: per-round
+    rebuild trades a ~1.8 ms one-time write cost for ~R x 0.5-1.8 ms of
+    VPU compute — a loss at the measured R~6.
+The round-5 NMS wins shipped instead at the WRAPPER level: background
+class dropped before the cores (-1/21 of the quadratic work, exact) and
+an empty-instance guard in the kernel (real-data win; synthetic bench
+data is dense so the headline row does not see it).
 """
 import os, json, functools
 
