@@ -7,6 +7,23 @@ copies in-model — docs/dwpw_inmodel_r5.json is tainted).
 Measures off vs fuse64 (112px block only); if the fused plan is still
 slower in-model, runs the per-op latency_report on the fused graph to
 attribute where the time went.  Writes docs/dwpw_inmodel2_r5.json.
+
+ROOT CAUSE (found via the optimized-HLO dump, docs/hlo/mnv1_fuse64.hlo
+.txt): XLA lays this net's activations out BATCH-MINOR — e.g. the stem
+output is f32[64,112,112,32]{0,3,2,1:T(8,128)} and the int8 trunk runs in
+{3,0,2,1:T(8,128)(4,1)} — putting the batch=64 dim in lanes so a C=32
+tensor pays 2x padding (64->128) instead of the 4x a C-minor layout
+would.  Pallas custom calls require DEFAULT {3,2,1,0} operand/result
+layouts, so XLA inserts a full relayout copy on each side of the call
+(`%copy.4 = f32[64,112,112,32]{3,2,1,0} copy(...)` right before
+`%_fused_impl.1 = ... custom-call`): ~2 x 100MB-class copies = the
+measured ~2.1ms in-model overhead.  One mechanism explains the whole r5
+negative chain: every standalone Pallas win at small-C shapes dies at
+this boundary (dw tail demotions, the 786432x32x64 GEMM poisoning, this
+kernel), and a packed-region Pallas pipeline would pay the same tax at
+its entry/exit.  Beating XLA in lane-starved regions on this toolchain
+requires either custom-call layout control (not exposed) or staying
+inside XLA's own lowering.
 """
 import os, json
 
