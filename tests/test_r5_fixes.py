@@ -46,6 +46,80 @@ def test_int8_matmul_large_m_lane_starved(rng):
 
 
 # ---------------------------------------------------------------------------
+# quant_depthwise width threshold (r5, the DBNet trunk knob)
+# ---------------------------------------------------------------------------
+
+def test_quant_depthwise_width_threshold(rng):
+    """quant_depthwise=<int> quantizes only dw whose channel count is <=
+    the threshold; True/False keep their old meaning."""
+    from paddle_lite_tpu.core.builder import GraphBuilder
+    from paddle_lite_tpu.quant.quantize_pass import QuantConfig
+    from paddle_lite_tpu.tools.opt import optimize
+
+    def build():
+        b = GraphBuilder("m", seed=3)
+        x = b.input("x", (2, 16, 16, 8))
+        x = b.conv_bn_act(x, 16, 3, padding=1, act="relu")      # stem-ish
+        x = b.conv_bn_act(x, 16, 3, padding=1, depthwise=True,
+                          act="relu")                            # dw C=16
+        x = b.conv_bn_act(x, 64, 1, act="relu")
+        x = b.conv_bn_act(x, 64, 3, padding=1, depthwise=True,
+                          act="relu")                            # dw C=64
+        x = b.conv_bn_act(x, 64, 1, act="relu")
+        b.mark_output(x)
+        return b.build()
+
+    feed = {"x": rng.normal(size=(2, 16, 16, 8)).astype(np.float32)}
+
+    def dw_int8_widths(qdw):
+        g = build()
+        optimize(g, quant=QuantConfig(quant_depthwise=qdw),
+                 calib_batches=[feed])
+        return sorted(
+            g.vars[op.input("Input")].shape[3]
+            for op in g.ops
+            if op.op_type == "depthwise_conv2d"
+            and op.attrs.get("enable_int8"))
+
+    assert dw_int8_widths(True) == [16, 64]
+    assert dw_int8_widths(False) == []
+    assert dw_int8_widths(16) == [16]
+    assert dw_int8_widths(32) == [16]
+    assert dw_int8_widths(64) == [16, 64]
+
+
+def test_dw_pw_fuse_width_gate(rng):
+    """dw_pw_fuse only fuses lane-starved blocks (C <= _FUSE_MAX_C)."""
+    from paddle_lite_tpu.core.builder import GraphBuilder
+    from paddle_lite_tpu.ops import fused as fused_mod
+    from paddle_lite_tpu.quant.quantize_pass import QuantConfig
+    from paddle_lite_tpu.tools.opt import optimize
+
+    def build():
+        b = GraphBuilder("m", seed=4)
+        x = b.input("x", (2, 16, 16, 32))
+        x = b.conv_bn_act(x, 32, 3, padding=1, depthwise=True, act="relu")
+        x = b.conv_bn_act(x, 64, 1, act="relu")      # fusable, C=32
+        x = b.conv_bn_act(x, 256, 1, act="relu")
+        x = b.conv_bn_act(x, 256, 3, padding=1, depthwise=True, act="relu")
+        x = b.conv_bn_act(x, 256, 1, act="relu")     # C=256: above the gate
+        b.mark_output(x)
+        return b.build()
+
+    feed = {"x": rng.normal(size=(2, 16, 16, 32)).astype(np.float32)}
+    old = fused_mod._FUSE_MAX_C
+    try:
+        fused_mod._FUSE_MAX_C = 128
+        g = build()
+        optimize(g, quant=QuantConfig(fuse_dw_pw=True), calib_batches=[feed])
+        fused = [op for op in g.ops if op.op_type == "fused_dw_pw"]
+        assert len(fused) == 1
+        assert g.vars[fused[0].input("Input")].shape[3] == 32
+    finally:
+        fused_mod._FUSE_MAX_C = old
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r4: gru origin_mode must refuse loudly, not import wrong math
 # ---------------------------------------------------------------------------
 
