@@ -59,3 +59,26 @@ def best_bucket(model: str, buckets,
     if not known:
         return None
     return max(known, key=known.get)
+
+
+def bucket_for(model: str, n: int, buckets,
+               autotune_dir: Optional[str] = None) -> Optional[int]:
+    """Cliff-aware dispatch: the bucket serving ``n`` requests at the
+    LOWEST absolute measured latency among buckets >= n.
+
+    XLA's layout assignment is batch-dependent and non-monotone (r5:
+    MobileNetV3's b8 program runs in 0.868 ms — FASTER in absolute ms
+    than its b4 program's 1.117 ms, docs/mnv3_b4_r5.json; DBNet's b8-b10
+    programs are a cliff, docs/ppocr_b8_r5.json), so "smallest bucket
+    that fits" can be strictly worse than padding up past a cliff.
+    ms(bucket) = bucket / measured_items_per_s.  Returns None when the
+    model has no measured entry for any eligible bucket (caller falls
+    back to smallest-fit)."""
+    entry = load_table(autotune_dir).get(model)
+    if not entry:
+        return None
+    cands = {b: b / float(entry[str(b)])
+             for b in buckets if b >= n and str(b) in entry}
+    if not cands:
+        return None
+    return min(cands, key=cands.get)

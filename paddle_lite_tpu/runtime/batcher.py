@@ -105,6 +105,17 @@ class ContinuousBatcher:
 
     # ---- dispatcher ------------------------------------------------------
     def _bucket_for(self, n: int) -> int:
+        if self.config.model is not None:
+            from .batch_table import bucket_for
+
+            b = bucket_for(self.config.model, n, self.config.buckets,
+                           self.config.autotune_dir)
+            if b is not None:
+                # cliff-aware: the measured-fastest bucket >= n, which can
+                # be LARGER than the smallest fit (padding past an XLA
+                # batch-layout cliff is faster in absolute ms — see
+                # batch_table.bucket_for)
+                return b
         for b in sorted(self.config.buckets):
             if b >= n:
                 return b

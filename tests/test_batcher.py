@@ -178,3 +178,47 @@ def test_predictor_clone_shares_weights(rng):
     [t.join() for t in ts]
     for o in outs:
         np.testing.assert_array_equal(o, ref)
+
+
+def test_cliff_aware_bucket_dispatch(tmp_path):
+    """r5: dispatch routes n requests to the measured-FASTEST bucket >= n,
+    which can be larger than the smallest fit — XLA's batch-dependent
+    layout assignment makes some larger programs faster in absolute ms
+    (MobileNetV3 b8 < b4; docs/mnv3_b4_r5.json)."""
+    import numpy as np
+
+    from paddle_lite_tpu.runtime.batch_table import bucket_for, save_entry
+    from paddle_lite_tpu.runtime.batcher import BatcherConfig, ContinuousBatcher
+
+    d = str(tmp_path)
+    # MNv3-like: b8's program is faster in absolute ms than b4's
+    # (ms = b/ips: b2 0.60, b4 1.12, b8 0.87, b64 1.79)
+    save_entry("mnv3_like", {2: 3322.7, 4: 3580.8, 8: 9215.9,
+                             64: 35680.3}, d)
+    assert bucket_for("mnv3_like", 3, (1, 2, 4, 8, 16, 32, 64), d) == 8
+    assert bucket_for("mnv3_like", 1, (1, 2, 4, 8, 16, 32, 64), d) == 2
+    assert bucket_for("never_measured", 3, (1, 2, 4), d) is None
+
+    built = []
+
+    class Echo:
+        def __init__(self, batch):
+            self.batch = batch
+
+        def run(self, inputs):
+            return {"out": inputs["x"] * 2 + 0 * self.batch}
+
+    b = ContinuousBatcher(
+        lambda bb: built.append(bb) or Echo(bb),
+        BatcherConfig(buckets=(1, 2, 4, 8, 16, 32, 64), model="mnv3_like",
+                      autotune_dir=d, max_wait_ms=30.0))
+    try:
+        futs = [b.submit({"x": np.full((2,), i, np.float32)})
+                for i in range(3)]
+        for i, f in enumerate(futs):
+            np.testing.assert_allclose(f.result(timeout=10)["out"],
+                                       np.full((2,), 2 * i))
+        # 3 requests must have dispatched through the b8 predictor
+        assert 8 in built and 4 not in built
+    finally:
+        b.close()
