@@ -125,6 +125,24 @@ def conv2d_xla(ctx, op, ins):
     # (always, for depthwise windows; in practice, for dense convs), the
     # same float-accumulate ground-truth formulation the reference's own
     # int8 conv tests used (SURVEY §4 naive_math_impl).
+    # Opt-in (attr "conv1x1_dot", study tools/studies/pw_dot_r5.py): lower
+    # an int8 1x1/s1/group-1 conv as reshape+dot INSIDE the XLA graph —
+    # unlike the Pallas conv-as-GEMM route this pays no custom-call
+    # layout toll (XLA assigns layouts for the whole chain jointly).  On
+    # the CPU test platform the int8 dot is also the fast path (oneDNN —
+    # unlike int8 convs, see below), so this runs everywhere.
+    if (attrs.get("conv1x1_dot") and int8_path and not dw_bf16
+            and w.shape[0] == 1 and w.shape[1] == 1
+            and strides == (1, 1) and groups == 1 and residual is None):
+        n_, h_, w_sp, c_ = x.shape
+        acc = jax.lax.dot(
+            x.reshape(n_ * h_ * w_sp, c_), w.reshape(c_, -1),
+            preferred_element_type=jnp.int32,
+        ).reshape(n_, h_, w_sp, -1)
+        y = _conv_epilogue(
+            ctx, op, acc, op.input("Input"), op.input("Filter"),
+            bias, residual, op.maybe_input("ResidualData"))
+        return {"Output": [y]}
     cpu_f32 = int8_path and not dw_bf16 and ctx.platform == "cpu"
     if cpu_f32:
         x, w = x.astype(jnp.float32), w.astype(jnp.float32)

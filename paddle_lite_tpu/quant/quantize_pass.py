@@ -74,6 +74,14 @@ class QuantConfig:
     # systematic (per-TENSOR weights, sub-8-bit); measured neutral-to-noisy
     # with per-channel int8 weights, hence default off.
     bias_correction: bool = False
+    # Lower int8 1x1/s1/group-1 convs as reshape+dot inside the XLA graph
+    # instead of the conv form (ops/nn.py conv2d_xla "conv1x1_dot").
+    # Measured NEUTRAL on whole-model MNv1 b64: a first A/B read +0.6%,
+    # the repeated alternating A/B read -0.4% (docs/pw_dot_r5.json,
+    # docs/pw_dot_confirm_r5.json) — within noise either way, so the conv
+    # form stays the default everywhere; the knob + exactness test remain
+    # for other deployments to measure.
+    conv1x1_dot: bool = False
     # Fuse eligible lane-starved dw+pw int8 blocks into one Pallas kernel
     # (ops/fused.py dw_pw_fuse): the dw output never round-trips HBM in its
     # physically lane-padded (C<128 -> 128-lane) storage. Measured r5: the

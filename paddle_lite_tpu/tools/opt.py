@@ -113,6 +113,14 @@ def optimize(
             # keeps the padded-layout intermediate in VMEM; measured per
             # model — see ops/fused.py and models/zoo_config.py)
             PassManager(["dw_pw_fuse"]).run(graph, verbose=verbose)
+        if quant.conv1x1_dot:
+            # int8 1x1 convs as in-XLA reshape+dot (ops/nn.py; measured
+            # per model — docs/pw_dot_r5.json)
+            for op in graph.ops:
+                if (op.op_type == "conv2d" and op.attrs.get("enable_int8")
+                        and graph.vars[op.input("Filter")].shape[:2]
+                        == (1, 1)):
+                    op.attrs["conv1x1_dot"] = True
     PassManager(FINALIZE_PASSES).run(graph, verbose=verbose)
     if quant is not None and quant.island_dtype != "float32":
         # stamped AFTER calibration so stats are collected in fp32

@@ -119,6 +119,30 @@ def test_dw_pw_fuse_width_gate(rng):
         fused_mod._FUSE_MAX_C = old
 
 
+def test_conv1x1_dot_matches_conv_form(rng):
+    """QuantConfig.conv1x1_dot lowers int8 1x1 convs as reshape+dot; the
+    whole-model outputs must match the conv form exactly (same int32
+    accumulation, same epilogue)."""
+    from paddle_lite_tpu.core.executor import build_callable, stage_weights
+    from paddle_lite_tpu.models import mobilenet_v1
+    from paddle_lite_tpu.quant.quantize_pass import QuantConfig
+    from paddle_lite_tpu.tools.opt import optimize
+
+    feed = {"image": rng.normal(size=(2, 64, 64, 3)).astype(np.float32)}
+
+    def run(dot):
+        g = mobilenet_v1.build(batch=2, image_size=64, seed=0)
+        optimize(g, quant=QuantConfig(conv1x1_dot=dot),
+                 calib_batches=[feed])
+        if dot:
+            assert any(op.attrs.get("conv1x1_dot") for op in g.ops)
+        return np.asarray(
+            build_callable(g)(stage_weights(g), feed)[g.outputs[0]])
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r4: gru origin_mode must refuse loudly, not import wrong math
 # ---------------------------------------------------------------------------
