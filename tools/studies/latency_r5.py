@@ -27,6 +27,7 @@ CONFIGS = {
     "ppocr_det": {"image_size": 640},
     "ppocr_rec": {"image_size": 320},
     "ernie_tiny": {"seq_len": 128},
+    "crnn_long": {"image_size": 1600},   # r5 long-strip OCR config
 }
 BATCHES = (1, 4, 8)
 OUT = "/root/repo/docs/latency_r5.json"
