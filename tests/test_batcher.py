@@ -222,3 +222,119 @@ def test_cliff_aware_bucket_dispatch(tmp_path):
         assert 8 in built and 4 not in built
     finally:
         b.close()
+
+
+def test_length_bucketer_routes_pads_and_batches(rng):
+    """r5: LengthBucketer (the serving half of the §5.7 dense-batch
+    raggedness contract) pads requests up to a length bucket, routes them
+    to a per-length ContinuousBatcher, and supports a model-owned pad_fn
+    (mask extension)."""
+    import numpy as np
+
+    from paddle_lite_tpu.runtime.batcher import BatcherConfig
+    from paddle_lite_tpu.runtime.length_bucketer import LengthBucketer
+
+    built = []
+
+    class Echo:
+        def __init__(self, batch, length):
+            self.batch, self.length = batch, length
+
+        def run(self, inputs):
+            x = inputs["ids"]
+            assert x.shape == (self.batch, self.length)
+            return {"sum": x.sum(axis=1, keepdims=True)}
+
+    lb = LengthBucketer(
+        lambda b, l: built.append((b, l)) or Echo(b, l),
+        length_buckets=(32, 64, 128),
+        seq_axes={"ids": 0},
+        batcher_config=BatcherConfig(buckets=(1, 2, 4), max_wait_ms=20.0))
+    try:
+        # lengths 20 and 30 share the 32 bucket (and can batch together);
+        # 70 goes to 128
+        f1 = lb.submit({"ids": np.ones((20,), np.float32)})
+        f2 = lb.submit({"ids": np.full((30,), 2.0, np.float32)})
+        f3 = lb.submit({"ids": np.ones((70,), np.float32)})
+        assert f1.result(10)["sum"][0] == 20.0   # zero-padded to 32
+        assert f2.result(10)["sum"][0] == 60.0
+        assert f3.result(10)["sum"][0] == 70.0
+        lengths_built = {l for _, l in built}
+        assert lengths_built == {32, 128}
+        assert lb.stats["padded_tokens"] == (32 - 20) + (32 - 30) + (128 - 70)
+        # over-long request refuses loudly
+        import pytest
+        with pytest.raises(ValueError, match="exceeds"):
+            lb.submit({"ids": np.ones((200,), np.float32)})
+    finally:
+        lb.close()
+
+    # model-owned pad_fn: extend an attention mask alongside the ids
+    built2 = []
+
+    class MaskEcho:
+        def __init__(self, batch, length):
+            self.batch, self.length = batch, length
+
+        def run(self, inputs):
+            return {"n_real": inputs["mask"].sum(axis=1, keepdims=True)}
+
+    def pad_with_mask(inputs, target):
+        ids = np.asarray(inputs["ids"])
+        n = ids.shape[0]
+        return {"ids": np.pad(ids, (0, target - n)),
+                "mask": np.pad(np.ones((n,), np.float32),
+                               (0, target - n))}
+
+    lb2 = LengthBucketer(
+        lambda b, l: built2.append((b, l)) or MaskEcho(b, l),
+        length_buckets=(16, 32), seq_axes={"ids": 0},
+        pad_fn=pad_with_mask,
+        batcher_config=BatcherConfig(buckets=(1, 2), max_wait_ms=20.0))
+    try:
+        f = lb2.submit({"ids": np.ones((10,), np.int32)})
+        assert f.result(10)["n_real"][0] == 10.0
+    finally:
+        lb2.close()
+
+
+def test_length_bucketer_serves_real_crnn(rng):
+    """Length-bucketed CRNN serving through real Predictors: two strip
+    widths land in different length buckets, run the actual compiled
+    models, and produce the right time-axis extents (W/4)."""
+    import numpy as np
+
+    from paddle_lite_tpu.models.ppocr import build_rec
+    from paddle_lite_tpu.runtime.batcher import BatcherConfig
+    from paddle_lite_tpu.runtime.length_bucketer import LengthBucketer
+    from paddle_lite_tpu.runtime.predictor import Predictor
+    from paddle_lite_tpu.tools.opt import optimize
+
+    def factory(batch, width):
+        g = build_rec(batch=batch, width=width, num_chars=20, seed=0)
+        optimize(g)
+        return Predictor(g)
+
+    lb = LengthBucketer(
+        factory, length_buckets=(32, 64),
+        seq_axes={"image": 1},   # (H, W, C) per request -> W is axis 1
+        batcher_config=BatcherConfig(buckets=(1, 2), max_wait_ms=20.0))
+    try:
+        out_narrow = lb.infer(
+            {"image": rng.normal(size=(32, 20, 3)).astype(np.float32)},
+            timeout=120)
+        out_wide = lb.infer(
+            {"image": rng.normal(size=(32, 50, 3)).astype(np.float32)},
+            timeout=120)
+        def t_extent(out):
+            # the CTC logits output: (T, num_chars+1) after the batch dim
+            # was stripped by the batcher
+            arrs = [v for v in out.values() if getattr(v, "ndim", 0) == 2]
+            assert arrs, {k: getattr(v, "shape", None)
+                          for k, v in out.items()}
+            return arrs[0].shape[0]
+
+        assert t_extent(out_narrow) == 32 // 4   # T = bucket32 / 4
+        assert t_extent(out_wide) == 64 // 4     # T = bucket64 / 4
+    finally:
+        lb.close()
