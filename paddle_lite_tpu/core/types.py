@@ -94,6 +94,12 @@ class QuantInfo:
     axis: Optional[int] = None  # None => per-tensor
     bits: int = 8
     symmetric: bool = True
+    # W4 storage (bits=4): two 4-bit values packed per int8 byte along this
+    # axis (element 2i in the low nibble, 2i+1 in the high); None for
+    # unpacked storage.  The jnp int4 dtype is broken in this jax build
+    # (RecursionError), so 4-bit weights ride int8 containers and the op
+    # impls unpack with shift/mask ops (ops/common._unpack_w4).
+    pack_axis: Optional[int] = None
 
     @property
     def per_channel(self) -> bool:

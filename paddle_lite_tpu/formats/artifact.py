@@ -30,13 +30,17 @@ FORMAT_VERSION = 1
 def _quant_to_json(q: QuantInfo):
     if q is None:
         return None
-    return {"scale": list(q.scale), "axis": q.axis, "bits": q.bits}
+    j = {"scale": list(q.scale), "axis": q.axis, "bits": q.bits}
+    if q.pack_axis is not None:  # W4 packed storage (r5)
+        j["pack_axis"] = q.pack_axis
+    return j
 
 
 def _quant_from_json(j):
     if j is None:
         return None
-    return QuantInfo(scale=tuple(j["scale"]), axis=j["axis"], bits=j["bits"])
+    return QuantInfo(scale=tuple(j["scale"]), axis=j["axis"], bits=j["bits"],
+                     pack_axis=j.get("pack_axis"))
 
 
 def graph_to_meta(graph: Graph) -> dict:

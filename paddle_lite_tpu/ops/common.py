@@ -179,6 +179,20 @@ def conv_out_size(in_size: int, k: int, stride: int, pad: Tuple[int, int], dilat
     return (in_size + pad[0] + pad[1] - eff_k) // stride + 1
 
 
+def _unpack_w4(v, pack_axis: int):
+    """Unpack W4 storage (two signed 4-bit values per int8 byte along
+    ``pack_axis``; low nibble = even element) back to int8.  Shift/mask
+    arithmetic only — the jnp int4 dtype is broken in this jax build."""
+    import jax.numpy as jnp
+
+    lo = ((v & jnp.int8(0xF)) ^ jnp.int8(8)) - jnp.int8(8)  # sign-extend
+    hi = jnp.right_shift(v, 4).astype(jnp.int8)  # arithmetic shift
+    st = jnp.stack([lo, hi], axis=pack_axis + 1)
+    shp = list(v.shape)
+    shp[pack_axis] *= 2
+    return st.reshape(shp)
+
+
 def maybe_dequant_mixed(ctx, a, a_name, b, b_name):
     """Mixed-precision operand repair for matmul-family ops.
 
@@ -196,6 +210,8 @@ def maybe_dequant_mixed(ctx, a, a_name, b, b_name):
         q = ctx.var_quant(name)
         if q is None:
             return v.astype(jnp.float32)
+        if getattr(q, "pack_axis", None) is not None and q.bits == 4:
+            v = _unpack_w4(v, q.pack_axis)
         return dequantize(v, q.scale_array() if q.per_channel else q.scale[0],
                           axis=q.axis)
 

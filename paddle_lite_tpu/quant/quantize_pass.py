@@ -88,10 +88,12 @@ class QuantConfig:
     # MNv1 112px block 3.2x standalone (tools/studies/dwpw_r5.py); enabled
     # per-model in models/zoo_config.py where the in-model A/B won.
     fuse_dw_pw: bool = False
-    # Weight-only storage quantization (8 or 16): calibration-free; weights
-    # stored int8/int16 + per-channel scales, inline-dequantized at run.
-    # The SaveModelNaive quantize-on-save analog. Mutually exclusive with
-    # the PTQ activation path (no calib_batches needed when set).
+    # Weight-only storage quantization (4, 8 or 16): calibration-free;
+    # weights stored packed-int4 / int8 / int16 + per-channel scales,
+    # inline-dequantized at run. The SaveModelNaive quantize-on-save
+    # analog (4-bit is the modern-serving extension: two values per byte,
+    # see QuantInfo.pack_axis). Mutually exclusive with the PTQ
+    # activation path (no calib_batches needed when set).
     weight_only: Optional[int] = None
     # Keep the stem conv (graph-input data, <=4 channels) in float — see
     # _is_quantizable; measured 1.56x faster than an int8 stem on v5e.
@@ -593,18 +595,23 @@ def weight_only_quantize(graph: Graph, bits: int = 8) -> int:
     quantize-on-save, lite/model_parser/model_parser.cc + the
     weight_quantization_preprocess pass).
 
-    Stores conv/fc/mul/matmul weights as int8 (bits=8) or int16 (bits=16)
-    with per-output-channel scales; activations stay float and the op impls
-    inline-dequantize the weight (``ops/common.maybe_dequant_mixed``), so
-    the fused program reads the narrow weight from HBM and converts in
-    registers. No ``enable_int8`` marking — this is a storage/bandwidth
-    mode, not the int8 MXU path. Returns the number of weights quantized.
+    Stores conv/fc/mul/matmul weights as packed int4 pairs (bits=4,
+    riding int8 containers — see core/types.QuantInfo.pack_axis), int8
+    (bits=8), or int16 (bits=16) with per-output-channel scales;
+    activations stay float and the op impls inline-dequantize the weight
+    (``ops/common.maybe_dequant_mixed``), so the fused program reads the
+    narrow weight from HBM and converts in registers. No ``enable_int8``
+    marking — this is a storage/bandwidth mode, not the int8 MXU path.
+    A bits=4 weight with no even-length non-scale axis to pack along
+    (e.g. an RGB stem's 3-channel input axis with odd kernel dims) falls
+    back to int8 storage for that weight. Returns the number of weights
+    quantized.
     """
-    if bits not in (8, 16):
-        raise ValueError(f"weight_only bits must be 8 or 16, got {bits}")
+    if bits not in (4, 8, 16):
+        raise ValueError(f"weight_only bits must be 4, 8 or 16, got {bits}")
     qmax = float(2 ** (bits - 1) - 1)
-    dtype = np.int8 if bits == 8 else np.int16
-    prec = Precision.INT8 if bits == 8 else Precision.INT16
+    dtype = np.int8 if bits <= 8 else np.int16
+    prec = Precision.INT8 if bits <= 8 else Precision.INT16
     n = 0
     for op in graph.ops:
         w_slot = _WEIGHT_SLOTS.get(op.op_type)
@@ -620,15 +627,30 @@ def weight_only_quantize(graph: Graph, bits: int = 8) -> int:
         if w.dtype != np.float32:
             continue
         axis = _WEIGHT_AXIS[op.op_type] % w.ndim
+        eff_bits, pack_axis = bits, None
+        if bits == 4:
+            pack_axis = next(
+                (i for i in range(w.ndim)
+                 if i != axis and w.shape[i] % 2 == 0), None)
+            if pack_axis is None:
+                eff_bits = 8  # nothing even to pack along — int8 fallback
+        eff_qmax = float(2 ** (eff_bits - 1) - 1)
         red = tuple(i for i in range(w.ndim) if i != axis)
         amax = np.maximum(np.abs(w).max(axis=red), 1e-10).astype(np.float32)
-        scale = amax / qmax
+        scale = amax / eff_qmax
         shape = [1] * w.ndim
         shape[axis] = -1
-        q = np.clip(np.round(w / scale.reshape(shape)), -qmax, qmax).astype(dtype)
+        q = np.clip(np.round(w / scale.reshape(shape)), -eff_qmax,
+                    eff_qmax).astype(dtype)
+        if eff_bits == 4:
+            lo = np.take(q, np.arange(0, q.shape[pack_axis], 2), pack_axis)
+            hi = np.take(q, np.arange(1, q.shape[pack_axis], 2), pack_axis)
+            q = ((lo & 0xF) | (hi << 4)).astype(np.int8)
         graph.weights[w_name] = q
         w_var.ttype = dataclasses.replace(w_var.ttype, precision=prec)
         w_var.quant = QuantInfo(scale=tuple(float(s) for s in scale),
-                                axis=axis, bits=bits)
+                                axis=axis, bits=eff_bits,
+                                pack_axis=pack_axis if eff_bits == 4
+                                else None)
         n += 1
     return n
