@@ -42,3 +42,21 @@ def test_ssd_detect_tiny():
     for name, score, (x1, y1, x2, y2) in dets:
         assert 0.0 <= score <= 1.0
         assert isinstance(name, str)
+
+
+def test_serve_ocr_strips_tiny():
+    demo = _load("serve_ocr_strips")
+    server = demo.make_server(width_buckets=(32, 64), num_chars=10,
+                              hidden=16)
+    rng = np.random.default_rng(0)
+    try:
+        futs = [server.submit({"image": rng.normal(
+            size=(demo.HEIGHT, w, 3)).astype(np.float32)})
+            for w in (20, 40, 60)]
+        for f in futs:
+            text = demo.decode(f.result(timeout=300))
+            assert isinstance(text, str)
+        assert server.stats["requests"] == 3
+        assert server.stats["padded_tokens"] == (32 - 20) + (64 - 40) + (64 - 60)
+    finally:
+        server.close()
