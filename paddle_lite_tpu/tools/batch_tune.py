@@ -22,7 +22,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-    from ..runtime.batch_table import save_entry
+    from ..runtime.batch_table import load_table, save_entry
     from .benchmark import bench_model
 
     p = argparse.ArgumentParser()
@@ -42,10 +42,17 @@ def main() -> None:
         key = "fp32_items_per_sec" if args.fp32 else "int8_items_per_sec"
         table[b] = r[key]
         print(json.dumps({"bucket": b, "items_per_sec": r[key]}), flush=True)
-    save_entry(args.model, table, args.autotune_dir)
-    best = max(table, key=table.get)
+    # MERGE into the existing entry: re-tuning a subset of buckets must not
+    # wipe rows measured at other sizes (the cliff-aware dispatcher and the
+    # off-ladder peaks depend on the full table)
+    merged = {int(k): float(v)
+              for k, v in load_table(args.autotune_dir)
+              .get(args.model, {}).items()}
+    merged.update(table)
+    save_entry(args.model, merged, args.autotune_dir)
+    best = max(merged, key=merged.get)
     print(json.dumps({"model": args.model, "best_bucket": best,
-                      "table": table}))
+                      "table": merged}))
 
 
 if __name__ == "__main__":

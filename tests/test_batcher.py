@@ -338,3 +338,28 @@ def test_length_bucketer_serves_real_crnn(rng):
         assert t_extent(out_wide) == 64 // 4     # T = bucket64 / 4
     finally:
         lb.close()
+
+
+def test_batch_tune_merges_existing_rows(tmp_path, monkeypatch):
+    """Re-tuning a subset of buckets must merge into the stored table, not
+    wipe rows measured at other sizes (the cliff-aware dispatcher depends
+    on the full table)."""
+    import sys
+
+    from paddle_lite_tpu.runtime.batch_table import load_table, save_entry
+    from paddle_lite_tpu.tools import batch_tune
+
+    d = str(tmp_path)
+    save_entry("m", {4: 100.0, 8: 50.0, 16: 200.0}, d)
+
+    def fake_bench(model, *, batch, **kw):
+        return {"int8_items_per_sec": 999.0 + batch}
+
+    monkeypatch.setattr(
+        "paddle_lite_tpu.tools.benchmark.bench_model", fake_bench)
+    monkeypatch.setattr(sys, "argv", [
+        "batch_tune", "--model", "m", "--buckets", "8",
+        "--autotune-dir", d])
+    batch_tune.main()
+    t = load_table(d)["m"]
+    assert t == {"4": 100.0, "8": 1007.0, "16": 200.0}
